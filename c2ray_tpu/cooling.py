@@ -1,0 +1,136 @@
+"""Radiative cooling: per-species cooling curves + table lookup.
+
+Re-implementation of ``code/cooling_h.f90`` (module `radiative_cooling`).
+The reference reads five precomputed ASCII tables (H0, H1, He0, He1, He2;
+801 points in log10 T in [1, 9]) generated offline from published fits
+(``tables/``, ``help_programs/``).  Being a standalone framework we build
+the same 801-point tables at start-up from the published fits the
+reference's tables were compiled from (see ``cooling_h.f90:113-136``):
+
+- collisional ionization & excitation: Hui & Gnedin (1997) / Cen (1992)
+- recombination cooling (case B): Hui & Gnedin (1997)
+- free-free: Gaunt-factor bremsstrahlung
+- He1 table excludes collisional ionization ("nocollion",
+  cooling_h.f90:136) because doric accounts for ionization separately.
+
+The lookup (`coolin`, cooling_h.f90:40-71) is linear interpolation in
+log10 T, vectorised over cells.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as const
+
+TEMPPOINTS = 801
+MINTEMP_LOG = 1.0
+MAXTEMP_LOG = 9.0
+DTEMP_LOG = (MAXTEMP_LOG - MINTEMP_LOG) / (TEMPPOINTS - 1)
+
+
+class CoolingTables(NamedTuple):
+    """Λ(T) per species [erg cm^3 / s], linear values, shape (801,)."""
+
+    h0: jnp.ndarray   # cooling per neutral-H fraction (collisional exc+ion)
+    h1: jnp.ndarray   # cooling per ionized-H fraction (recomb B + ff)
+    he0: jnp.ndarray
+    he1: jnp.ndarray
+    he2: jnp.ndarray
+
+
+def _gff(T, Zeff=1.0):
+    """Free-free Gaunt factor (Hui & Gnedin 1997 eq. therein)."""
+    logt = np.log10(T / Zeff**2)
+    return np.where(T < 3.2e5 * Zeff**2,
+                    0.79464 + 0.1243 * logt,
+                    2.13164 - 0.1240 * logt)
+
+
+def _build_tables_np():
+    """Per-species cooling curves Λ_s(T) [erg cm^3/s] such that the total
+    cooling is  n * ne * (Σ_s x_s Λ_s(T) * abundance_s)  -- the same
+    contract as the reference tables (cooling_h.f90:59-69)."""
+    T = 10.0 ** np.linspace(MINTEMP_LOG, MAXTEMP_LOG, TEMPPOINTS)
+    kT_erg = const.k_B * T
+    sqT5 = 1.0 + np.sqrt(T / 1e5)
+
+    # --- collisional excitation cooling (Cen 1992 fits)
+    ce_HI = 7.5e-19 / sqT5 * np.exp(-118348.0 / T)          # ~ n_e n_H0
+    ce_HeII = 5.54e-17 * T**-0.397 / sqT5 * np.exp(-473638.0 / T)  # ~ n_e n_He+
+
+    # --- collisional ionization cooling: Hui & Gnedin (1997) rate fits
+    #     (the source the reference tables were compiled from,
+    #     cooling_h.f90:115-117) times the ionization energy
+    def hg_ci(TthK, A, p, x0, a, b):
+        lam = 2.0 * TthK / T
+        return (A * T**-1.5 * np.exp(-TthK / T) * lam**p
+                / (1.0 + (lam / x0) ** a) ** b)
+
+    ci_HI = hg_ci(const.temph0, 21.11, -1.089, 0.354, 0.874, 1.101) \
+        * const.hionen
+    ci_HeI = hg_ci(const.temphe[0], 32.38, -1.146, 0.416, 0.987, 1.056) \
+        * const.heionen[0]
+
+    # --- recombination cooling, Hui & Gnedin (1997) case-B fits
+    lamH = 2.0 * const.temph0 / T
+    rec_H1 = (3.435e-30 * T * lamH**1.970
+              / (1.0 + (lamH / 2.25) ** 0.376) ** 3.720)
+    lamHe1 = 2.0 * const.temphe[0] / T
+    # HG97 give the HeII case-B recombination cooling as kT * 1.26e-14 lam^0.75
+    rec_He1 = 1.26e-14 * kT_erg * lamHe1**0.75
+    # He++ case B: hydrogenic scaling L_Z(T) = Z^3 L_H(T/Z^2); note
+    # lam_H(T/4) == lam_HeIII(T), so this is 8 x the H fit at T/4.
+    lamHe2 = 2.0 * const.temphe[1] / T
+    rec_He2 = (8.0 * 3.435e-30 * (T / 4.0) * lamHe2**1.970
+               / (1.0 + (lamHe2 / 2.25) ** 0.376) ** 3.720)
+
+    # --- dielectronic recombination cooling of He+ (Black 1981 / Cen 1992)
+    dielec_He1 = (1.24e-13 * T**-1.5 * np.exp(-470000.0 / T)
+                  * (1.0 + 0.3 * np.exp(-94000.0 / T)))
+
+    # --- free-free (Gaunt-factor bremsstrahlung)
+    ff_1 = 1.426e-27 * np.sqrt(T) * _gff(T, 1.0)        # Z=1: H+, He+
+    ff_2 = 1.426e-27 * np.sqrt(T) * 4.0 * _gff(T, 2.0)  # Z=2: He++
+
+    h0 = ce_HI + ci_HI
+    h1 = rec_H1 + ff_1
+    # He0 table: collisional ionization only (cooling_h.f90:113-117)
+    he0 = ci_HeI
+    # He1 table: excitation + recombination B + dielectronic + ff, but NO
+    # collisional ionization (cooling_h.f90:130-136, "nocollion")
+    he1 = ce_HeII + rec_He1 + dielec_He1 + ff_1
+    # He2 table: recombination + ff
+    he2 = rec_He2 + ff_2
+
+    floor = 1e-50
+    return tuple(np.maximum(x, floor) for x in (h0, h1, he0, he1, he2))
+
+
+def setup_cooling_tables(dtype=jnp.float64) -> CoolingTables:
+    """Build the five cooling tables (the `setup_cool` analog,
+    cooling_h.f90:76-171)."""
+    h0, h1, he0, he1, he2 = _build_tables_np()
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    return CoolingTables(h0=f(h0), h1=f(h1), he0=f(he0), he1=f(he1),
+                         he2=f(he2))
+
+
+def coolin(tables: CoolingTables, nucldens, eldens, xh0, xh1, xhe0, xhe1,
+           xhe2, temperature):
+    """Cooling rate [erg cm^-3 s^-1] (cooling_h.f90:40-71), vectorised."""
+    tpos = (jnp.log10(temperature) - MINTEMP_LOG) / DTEMP_LOG
+    itpos = jnp.clip(tpos.astype(jnp.int32), 0, TEMPPOINTS - 2)
+    dtpos = tpos - itpos.astype(tpos.dtype)
+    itpos1 = itpos + 1
+
+    def interp(tab):
+        lo = tab[itpos]
+        return lo + (tab[itpos1] - lo) * dtpos
+
+    h_part = (xh0 * interp(tables.h0) + xh1 * interp(tables.h1)) \
+        * (1.0 - const.abu_he)
+    he_part = (xhe0 * interp(tables.he0) + xhe1 * interp(tables.he1)
+               + xhe2 * interp(tables.he2)) * const.abu_he
+    return nucldens * eldens * (h_part + he_part)

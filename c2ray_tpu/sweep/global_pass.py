@@ -1,0 +1,175 @@
+"""Global chemistry pass: apply accumulated rates on every cell at once.
+
+Re-implementation of ``global_pass`` -> ``evolve0D_global`` ->
+``do_chemistry`` (evolve.F90:435-501, evolve_point.F90:325-646).
+
+The reference's triple loop over cells collapses into one vectorised
+call: all mesh^3 cells iterate the {electron density -> T-dependent
+rates -> two doric passes averaged -> thermal} fixed point together
+inside a masked `lax.while_loop` (per-cell convergence, cap 400
+iterations, evolve_point.F90:487-640).
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..chemistry import (IonFractions, IonState, coldens, doric,
+                         electrondens, prepare_doric_factors)
+from ..cooling import CoolingTables
+from ..rates import RateCoeffs, rate_coefficients
+from ..state import GridState
+from ..thermal import thermal
+from .source_sweep import RateGrids
+
+# c2ray_parameters.f90:36,44
+MIN_FRACTIONAL_CHANGE = 1.0e-2
+MIN_FRACTION_OF_ATOMS = 1.0e-8
+MAX_CHEM_ITER = 400
+
+
+@dataclass(frozen=True)
+class ChemistryConfig:
+    cooling: Optional[CoolingTables]
+    isothermal: bool = False
+    epsilon: float = 1.0e-20
+    cosmo_cool_factor: float = 0.0
+    isothermal_temperature: float = 1.0e4
+    max_iter: int = MAX_CHEM_ITER
+
+
+def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
+                         phi_HI, phi_HeI, phi_HeII, phi_heat):
+    """Vectorised do_chemistry with local=.false.
+    (evolve_point.F90:444-646).
+
+    Returns (IonState, t_inter, t_av, n_iterations).
+    """
+    ion0 = state.ion_state(cfg.epsilon)
+    ndens = state.ndens
+    clumping = state.clumping
+    dtype = ndens.dtype
+
+    if cfg.isothermal:
+        temper1_0 = jnp.full_like(ndens, cfg.isothermal_temperature)
+        avg_t_0 = temper1_0
+        fixed_rates = rate_coefficients(temper1_0)
+    else:
+        temper1_0 = state.t_final   # temper (slot 2), evolve_point.F90:479
+        avg_t_0 = state.t_av
+        fixed_rates = None
+    temper0 = temper1_0
+
+    def factors_from(ions: IonFractions):
+        # cell columns enter doric only through opacity *ratios*, so the
+        # path length cancels (the reference passes path=1.0 here,
+        # evolve_point.F90:394-395,556-563); use unit path.
+        cch = coldens(1.0, ions.h0, ndens, 1.0 - const.abu_he)
+        cche0 = coldens(1.0, ions.he0, ndens, const.abu_he)
+        cche1 = coldens(1.0, ions.he1, ndens, const.abu_he)
+        return prepare_doric_factors(cch, cche0, cche1)
+
+    def cond(carry):
+        ion, temper1, avg_t, nit, active = carry
+        return jnp.any(active) & (nit < cfg.max_iter)
+
+    def body(carry):
+        ion, temper1, avg_t, nit, active = carry
+        prev_avg = ion.avg
+        temper2 = temper1
+
+        de = electrondens(ndens, ion.avg)
+        rates = (fixed_rates if cfg.isothermal
+                 else rate_coefficients(avg_t))
+
+        fac = factors_from(ion.cur)
+        ion1 = doric(dt, de, ion, phi_HI, phi_HeI, phi_HeII, fac, rates,
+                     clumping, cfg.epsilon)
+        de = electrondens(ndens, ion1.avg)
+
+        fac2 = factors_from(ion1.cur)
+        ion2 = doric(dt, de, ion1, phi_HI, phi_HeI, phi_HeII, fac2, rates,
+                     clumping, cfg.epsilon)
+
+        half = lambda a, b: 0.5 * (a + b)
+        cur = IonFractions(*(half(a, b)
+                             for a, b in zip(ion2.cur, ion1.cur)))
+        # reference averages h_av(0), he_av(0), he_av(1) only
+        # (evolve_point.F90:593-595)
+        avg = IonFractions(
+            h0=half(ion2.avg.h0, ion1.avg.h0),
+            h1=ion2.avg.h1,
+            he0=half(ion2.avg.he0, ion1.avg.he0),
+            he1=half(ion2.avg.he1, ion1.avg.he1),
+            he2=ion2.avg.he2,
+        )
+        ion_new = IonState(cur=cur, avg=avg, old=ion.old)
+        de = electrondens(ndens, avg)
+
+        temper1_new = temper0
+        avg_t_new = avg_t
+        if not cfg.isothermal:
+            tr = thermal(dt, temper0, de, ndens, ion_new, phi_heat,
+                         cfg.cooling, cfg.cosmo_cool_factor)
+            temper1_new = tr.end_temper
+            avg_t_new = tr.avg_temper
+
+        def conv(new, old):
+            return (jnp.abs((new - old) / new) < MIN_FRACTIONAL_CHANGE) | (
+                new < MIN_FRACTION_OF_ATOMS)
+
+        done = (conv(avg.h0, prev_avg.h0)
+                & conv(avg.he0, prev_avg.he0)
+                & conv(avg.he2, prev_avg.he2)
+                & (jnp.abs((temper1_new - temper2) / temper1_new)
+                   < MIN_FRACTIONAL_CHANGE))
+
+        # frozen (converged) cells keep their values
+        keep = lambda new, old: jnp.where(active, new, old)
+        ion_out = jax.tree.map(keep, ion_new, ion)
+        temper1 = keep(temper1_new, temper1)
+        avg_t = keep(avg_t_new, avg_t)
+        active = active & ~done
+        return (ion_out, temper1, avg_t, nit + 1, active)
+
+    active0 = jnp.ones_like(ndens, dtype=bool)
+    carry = (ion0, temper1_0, avg_t_0, jnp.int32(0), active0)
+    ion, temper1, avg_t, nit, _ = jax.lax.while_loop(cond, body, carry)
+    return ion, temper1, avg_t, nit
+
+
+def global_chemistry_pass(cfg: ChemistryConfig, state: GridState,
+                          rates: RateGrids, dt
+                          ) -> Tuple[GridState, jnp.ndarray]:
+    """evolve0D_global over the whole grid (evolve_point.F90:325-440).
+
+    Returns (new state, conv_flag = number of non-converged cells).
+    """
+    ion, t_inter, t_av, _ = _do_chemistry_global(
+        cfg, dt, state, rates.phih, rates.phihe0, rates.phihe1,
+        rates.phiheat)
+
+    # global convergence counting (evolve_point.F90:399-424)
+    def big_change(new, old):
+        return ((jnp.abs(new - old) > MIN_FRACTIONAL_CHANGE)
+                & (jnp.abs((new - old) / new) > MIN_FRACTIONAL_CHANGE)
+                & (new > MIN_FRACTION_OF_ATOMS))
+
+    changed = (big_change(ion.avg.h0, state.h_av0)
+               | big_change(ion.avg.he0, state.he_av0)
+               | big_change(ion.avg.he2, state.he_av2)
+               | ((jnp.abs((state.t_av - t_av) / t_av) > 1.0e-1)
+                  & (jnp.abs(t_av - state.t_av) > 100.0)))
+    conv_flag = jnp.sum(changed.astype(jnp.int32))
+
+    new_state = state._replace(
+        h_int0=ion.cur.h0, h_int1=ion.cur.h1,
+        he_int0=ion.cur.he0, he_int1=ion.cur.he1, he_int2=ion.cur.he2,
+        h_av0=ion.avg.h0, h_av1=ion.avg.h1,
+        he_av0=ion.avg.he0, he_av1=ion.avg.he1, he_av2=ion.avg.he2,
+        t_inter=t_inter, t_av=t_av,
+    )
+    return new_state, conv_flag
