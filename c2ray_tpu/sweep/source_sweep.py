@@ -123,29 +123,33 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
 
     src_flat = (srcpos[0] * mesh + srcpos[1]) * mesh + srcpos[2]
 
+    # fractions are clamped at epsilon when a cell is loaded
+    # (evolve_point.F90:120-132)
     def gather(f, idx):
-        return f[idx]
+        return jnp.maximum(f[idx], cfg.epsilon)
 
     # ---- source cell (evolve_point.F90:140-151)
     path0 = 0.5 * dr
     vol_ph0 = vol_cell
     nd0 = fields.ndens[src_flat]
-    cc0 = (coldens(path0, fields.h_av0[src_flat], nd0, 1.0 - const.abu_he),
-           coldens(path0, fields.he_av0[src_flat], nd0, const.abu_he),
-           coldens(path0, fields.he_av1[src_flat], nd0, const.abu_he))
+    h_av0_s = gather(fields.h_av0, src_flat)
+    he_av0_s = gather(fields.he_av0, src_flat)
+    he_av1_s = gather(fields.he_av1, src_flat)
+    cc0 = (coldens(path0, h_av0_s, nd0, 1.0 - const.abu_he),
+           coldens(path0, he_av0_s, nd0, const.abu_he),
+           coldens(path0, he_av1_s, nd0, const.abu_he))
     zero = jnp.zeros((), dtype=dtype)
     phi0 = _cell_rates(cfg, (zero, zero, zero), cc0, vol_ph0, nflux,
-                       fields.h_av1[src_flat])
+                       gather(fields.h_av1, src_flat))
     cdh = cdh.at[src_flat].set(cc0[0])
     cdhe0 = cdhe0.at[src_flat].set(cc0[1])
     cdhe1 = cdhe1.at[src_flat].set(cc0[2])
     phih = phih.at[src_flat].add(
-        phi0.photo_cell_HI / (fields.h_av0[src_flat] * nd0
-                              * (1.0 - const.abu_he)))
+        phi0.photo_cell_HI / (h_av0_s * nd0 * (1.0 - const.abu_he)))
     phihe0 = phihe0.at[src_flat].add(
-        phi0.photo_cell_HeI / (fields.he_av0[src_flat] * nd0 * const.abu_he))
+        phi0.photo_cell_HeI / (he_av0_s * nd0 * const.abu_he))
     phihe1 = phihe1.at[src_flat].add(
-        phi0.photo_cell_HeII / (fields.he_av1[src_flat] * nd0 * const.abu_he))
+        phi0.photo_cell_HeII / (he_av1_s * nd0 * const.abu_he))
     if not cfg.isothermal:
         phiheat = phiheat.at[src_flat].add(phi0.heat)
 
