@@ -1,0 +1,92 @@
+"""Benchmark: 3D multi-source radiative-transfer throughput on one chip.
+
+Metric: cell-source updates per second for one full evolve3D iteration
+(wavefront sweep over all sources + global chemistry pass) -- the
+BASELINE.md north-star metric.  The reference publishes no numbers
+(BASELINE.md: "published: {}"), so vs_baseline is reported against our
+own recorded first-round value when available, else 1.0.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+MESH = int(os.environ.get("BENCH_MESH", 128))
+N_SRC = int(os.environ.get("BENCH_SOURCES", 8))
+N_ITER = int(os.environ.get("BENCH_ITERS", 2))
+# recorded round-1 single-chip number; update as perf improves
+REFERENCE_VALUE = float(os.environ.get("BENCH_BASELINE", 0.0))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from c2ray_tpu import constants as const
+    from c2ray_tpu.radiation import (BlackBodySED, SEDConfig,
+                                     build_radiation_tables)
+    from c2ray_tpu.state import initial_grid_state
+    from c2ray_tpu.sweep import SweepConfig, build_shell_table
+    from c2ray_tpu.sweep.evolve3d import (Evolve3DConfig,
+                                          make_evolve3d_iteration)
+    from c2ray_tpu.sweep.global_pass import ChemistryConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    tables, sed, bands = build_radiation_tables(
+        SEDConfig(bb=BlackBodySED(T_eff=5e4, S_star=3e51)),
+        isothermal=True, dtype=dtype)
+    dr = 50.0 * const.kpc / MESH
+    sweep_cfg = SweepConfig(tables=tables, mesh=MESH, dr=dr,
+                            isothermal=True,
+                            flux_scale=bands.flux_scale)
+    chem_cfg = ChemistryConfig(cooling=None, isothermal=True,
+                               isothermal_temperature=1.0e4)
+    shells = build_shell_table(MESH)
+    cfg = Evolve3DConfig(sweep=sweep_cfg, chem=chem_cfg, shells=shells)
+    iteration = make_evolve3d_iteration(cfg)
+
+    rng = np.random.RandomState(7)
+    srcpos = jnp.asarray(rng.randint(0, MESH, size=(N_SRC, 3)),
+                         dtype=jnp.int32)
+    nflux = jnp.asarray(
+        np.concatenate([rng.uniform(0.5, 2.0, (N_SRC, 1)),
+                        np.zeros((N_SRC, 2))], axis=1), dtype=dtype)
+    state = initial_grid_state(np.full((MESH,) * 3, 1.0e-4), 0.0, 0.0, 0.0,
+                               1.0e4, dtype=dtype)
+    dt = jnp.asarray(1.0e14, dtype=dtype)
+
+    # warm-up / compile
+    state1, conv, _ = iteration(state, srcpos, nflux, dt)
+    jax.block_until_ready(state1.h_av1)
+
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(N_ITER):
+        s, conv, _ = iteration(s, srcpos, nflux, dt)
+    jax.block_until_ready(s.h_av1)
+    elapsed = time.perf_counter() - t0
+
+    updates = MESH**3 * N_SRC * N_ITER
+    rate = updates / elapsed
+
+    vs_baseline = rate / REFERENCE_VALUE if REFERENCE_VALUE > 0 else 1.0
+    print(json.dumps({
+        "metric": f"cell_source_updates_per_s_mesh{MESH}_src{N_SRC}",
+        "value": rate,
+        "unit": "cell-source-updates/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -176,9 +176,12 @@ def doric(
     alpha_he2_2 = clumping * rates.treche1
     alpha_he2_1 = alpha_he2_A - alpha_he2_B
 
-    aih0 = jnp.maximum(photo_HI + ne * rates.colli_HI, 1.0e-200)
-    aihe0 = jnp.maximum(photo_HeI + ne * rates.colli_HeI, 1.0e-200)
-    aihe1 = jnp.maximum(photo_HeII + ne * rates.colli_HeII, 1.0e-200)
+    # floor equivalent to the reference's 1e-200 (doric.f90:109-111),
+    # but representable at the working precision
+    tiny = jnp.finfo(jnp.result_type(photo_HI, ne)).tiny
+    aih0 = jnp.maximum(photo_HI + ne * rates.colli_HI, tiny)
+    aihe0 = jnp.maximum(photo_HeI + ne * rates.colli_HeI, tiny)
+    aihe1 = jnp.maximum(photo_HeII + ne * rates.colli_HeII, tiny)
 
     # Matrix elements (doric.f90:124-131)
     Lmat = -(aih0 + ne * alpha_h_B)

@@ -287,6 +287,9 @@ class Bands:
     boundary_tauHI: float = 0.0
     boundary_tauHeI: float = 0.0
     boundary_tauHeII: float = 0.0
+    # rate tables built against these bands are stored divided by this
+    # factor (float32 range guard; see radiation.tables)
+    flux_scale: float = 1.0
 
     @property
     def nbands(self) -> int:

@@ -222,7 +222,7 @@ def photoion_rates(
     s_HeI = sig_HeI * cc_HeI[..., None]
     s_HeII = sig_HeII * cc_HeII[..., None]
     denom = s_HI + s_HeI + s_HeII
-    inv = 1.0 / jnp.maximum(denom, 1.0e-300)
+    inv = 1.0 / jnp.maximum(denom, jnp.finfo(denom.dtype).tiny)
     scaling_HI = s_HI * inv
     scaling_HeI = s_HeI * inv
     scaling_HeII = s_HeII * inv

@@ -178,38 +178,56 @@ def _pl_band_limits(bands: Bands, min_freq, max_freq) -> tuple:
 
 
 def build_radiation_tables(sed: SEDConfig, bands: Optional[Bands] = None, *,
-                           isothermal=False, dtype=jnp.float64
-                           ) -> tuple:
+                           isothermal=False, dtype=jnp.float64,
+                           flux_scale: Optional[float] = None) -> tuple:
     """Full `rad_ini` equivalent (radiation_tables.f90:141-168).
 
     Normalizes the SEDs against the band range and integrates all tables.
     Returns (RadiationTables, normalized SEDConfig, Bands).
+
+    ``flux_scale``: tables are stored divided by this factor so their
+    values stay in float32 range on TPU (S_star ~ 1e48-1e57 overflows
+    f32).  The runtime lookup recovers physical cell rates by dividing
+    the shell volume by the same factor (see SweepConfig.flux_scale);
+    photo_in/photo_out/photon_loss then carry units of ``flux_scale``
+    photons/s.  Defaults to 1.0 for f64 and to the total source photon
+    rate for f32.
     """
     if bands is None:
         bands = make_bands()
     sed = normalize_seds(sed, bands.freq_min[0], bands.freq_max[-1],
                          edges=bands.freq_max[:-1])
 
+    if flux_scale is None:
+        if dtype == jnp.float64:
+            flux_scale = 1.0
+        else:
+            flux_scale = sum(s.S_star for s in (sed.bb, sed.pl, sed.qso)
+                             if s is not None)
+
     bb_tables = pl_tables = qso_tables = None
+    inv = 1.0 / flux_scale
     if sed.bb is not None:
         lo, hi = _bb_band_limits(bands, sed.bb.h_over_kT)
         R2 = sed.bb.R_star**2
         bb_tables = _build_source_tables(
             bands,
-            lambda f: 4.0 * const.pi * R2
+            lambda f: inv * 4.0 * const.pi * R2
             * blackbody_photon_density(f, sed.bb.h_over_kT),
             lo, hi, isothermal, dtype)
     if sed.pl is not None:
         lo, hi = _pl_band_limits(bands, sed.pl.min_freq, sed.pl.max_freq)
         pl_tables = _build_source_tables(
             bands,
-            lambda f: sed.pl.scaling * powerlaw_photon_density(f, sed.pl.index),
+            lambda f: inv * sed.pl.scaling
+            * powerlaw_photon_density(f, sed.pl.index),
             lo, hi, isothermal, dtype)
     if sed.qso is not None:
         lo, hi = _pl_band_limits(bands, sed.qso.min_freq, sed.qso.max_freq)
         qso_tables = _build_source_tables(
             bands,
-            lambda f: sed.qso.scaling * powerlaw_photon_density(f, sed.qso.index),
+            lambda f: inv * sed.qso.scaling
+            * powerlaw_photon_density(f, sed.qso.index),
             lo, hi, isothermal, dtype)
 
     nb = bands.nbands
@@ -240,4 +258,6 @@ def build_radiation_tables(sed: SEDConfig, bands: Optional[Bands] = None, *,
         mask_HeI=arr(mask_HeI), mask_HeII=arr(mask_HeII),
         **{k: arr(v) for k, v in f.items()},
     )
+    import dataclasses
+    bands = dataclasses.replace(bands, flux_scale=float(flux_scale))
     return tables, sed, bands

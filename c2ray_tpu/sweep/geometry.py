@@ -86,14 +86,17 @@ def build_shell_table(mesh: int, max_radius: int = None) -> ShellTable:
     mask = np.zeros((n_shells, width), dtype=bool)
     boundary = np.zeros((n_shells, width), dtype=bool)
     order = np.argsort(s, kind="stable")
-    pos_in_shell = np.zeros(n_shells + 1, dtype=np.int64)
-    for idx in order:
-        sh = s[idx] - 1
-        p = pos_in_shell[sh]
-        offsets[sh, p] = (di[idx], dj[idx], dk[idx])
-        mask[sh, p] = True
-        boundary[sh, p] = on_bound[idx]
-        pos_in_shell[sh] += 1
+    s_sorted = s[order]
+    # position within shell: index along the sorted array minus the
+    # start offset of that shell
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos_within = np.arange(len(order)) - starts[s_sorted - 1]
+    sh = s_sorted - 1
+    offsets[sh, pos_within, 0] = di[order]
+    offsets[sh, pos_within, 1] = dj[order]
+    offsets[sh, pos_within, 2] = dk[order]
+    mask[sh, pos_within] = True
+    boundary[sh, pos_within] = on_bound[order]
 
     return ShellTable(offsets=offsets, mask=mask, boundary=boundary,
                       lo=lo, hi=hi)

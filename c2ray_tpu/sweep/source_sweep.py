@@ -45,6 +45,9 @@ class SweepConfig:
     # homogeneous LLS opacity column per cell (type 1,
     # c2ray_parameters.f90:72-78); 0 disables
     coldensh_LLS: float = 0.0
+    # tables were built divided by this (f32 range guard); the lookup
+    # divides the shell volume by it so cell rates come out physical
+    flux_scale: float = 1.0
     has_bb: bool = True
     has_pl: bool = False
     has_qso: bool = False
@@ -106,7 +109,11 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
     n = mesh**3
     dtype = fields.ndens.dtype
     dr = jnp.asarray(cfg.dr, dtype=dtype)
-    vol_cell = jnp.asarray(cfg.vol, dtype=dtype)
+    # volumes are handled in units of the cell volume with the cell
+    # volume folded into the flux scale: cm^3 volumes (~1e63) overflow
+    # float32, and only the ratio vol_ph/vol_cell and the combined factor
+    # vol_cell/flux_scale ever enter the rate formulas.
+    vol_over_scale = jnp.asarray(cfg.vol / cfg.flux_scale, dtype=dtype)
 
     # per-source outgoing-column grids, with one dummy slot for padding
     # (the reference zeroes mesh^3 arrays per source,
@@ -128,9 +135,8 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
     def gather(f, idx):
         return jnp.maximum(f[idx], cfg.epsilon)
 
-    # ---- source cell (evolve_point.F90:140-151)
+    # ---- source cell (evolve_point.F90:140-151): vol_ph = cell volume
     path0 = 0.5 * dr
-    vol_ph0 = vol_cell
     nd0 = fields.ndens[src_flat]
     h_av0_s = gather(fields.h_av0, src_flat)
     he_av0_s = gather(fields.he_av0, src_flat)
@@ -139,7 +145,8 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
            coldens(path0, he_av0_s, nd0, const.abu_he),
            coldens(path0, he_av1_s, nd0, const.abu_he))
     zero = jnp.zeros((), dtype=dtype)
-    phi0 = _cell_rates(cfg, (zero, zero, zero), cc0, vol_ph0, nflux,
+    phi0 = _cell_rates(cfg, (zero, zero, zero), cc0,
+                       vol_over_scale, nflux,
                        gather(fields.h_av1, src_flat))
     cdh = cdh.at[src_flat].set(cc0[0])
     cdhe0 = cdhe0.at[src_flat].set(cc0[1])
@@ -170,9 +177,10 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
         safe = jnp.where(mask, flat, n)
 
         offf = offs.astype(dtype)
-        dist2 = dr * dr * (offf[:, 0] ** 2 + offf[:, 1] ** 2
-                           + offf[:, 2] ** 2)
-        vol_ph = 4.0 * const.pi * dist2 * path
+        dist2_cells = (offf[:, 0] ** 2 + offf[:, 1] ** 2
+                       + offf[:, 2] ** 2)
+        # shell volume in cell-volume units: 4 pi (d/dr)^2 (path/dr)
+        vol_ratio = 4.0 * const.pi * dist2_cells * (path / dr)
 
         # LLS fog adds to the incoming column (evolve_point.F90:177-180)
         if cfg.coldensh_LLS > 0.0:
@@ -196,7 +204,7 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
 
         phi = _cell_rates(cfg, (cd_in_h, cd_in_he0, cd_in_he1),
                           (cd_out_h, cd_out_he0, cd_out_he1),
-                          vol_ph, nflux, h_av1)
+                          vol_ratio * vol_over_scale, nflux, h_av1)
 
         # shielded cells get zero rates (evolve_point.F90:250,279-290)
         live = mask & (cd_in_h < cfg.max_coldensh)
@@ -212,8 +220,7 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
 
         # photon loss through the trace boundary (evolve_point.F90:310-315)
         ploss = ploss + jnp.sum(
-            jnp.where(live & on_bound,
-                      phi.photo_out * vol_cell / vol_ph, 0.0))
+            jnp.where(live & on_bound, phi.photo_out / vol_ratio, 0.0))
 
         return (cdh, cdhe0, cdhe1, phih, phihe0, phihe1, phiheat,
                 ploss), None
@@ -236,6 +243,11 @@ def sweep_sources_accumulate(cfg: SweepConfig, shells: ShellTable,
     """
     dtype = fields.ndens.dtype
     rates0 = zero_rate_grids(cfg.mesh, dtype)
+    # tie the zero-initialised accumulators to the (possibly sharded)
+    # source inputs so their device-variance matches the scan body under
+    # shard_map (jax "varying manual axes" typing)
+    tie = jnp.asarray(nflux_batch, dtype=dtype).ravel()[0] * 0.0
+    rates0 = jax.tree.map(lambda a: a + tie, rates0)
 
     def body(rates, src):
         srcpos, nflux = src
