@@ -31,8 +31,8 @@ def main():
     import jax.numpy as jnp
 
     from c2ray_tpu import constants as const
-    from c2ray_tpu.radiation import (BlackBodySED, SEDConfig,
-                                     build_radiation_tables)
+    from c2ray_tpu.radiation import BlackBodySED, SEDConfig
+    from c2ray_tpu.radiation.quadrature import build_quadrature_tables
     from c2ray_tpu.state import initial_grid_state
     from c2ray_tpu.sweep import SweepConfig, build_shell_table
     from c2ray_tpu.sweep.evolve3d import (Evolve3DConfig,
@@ -42,7 +42,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
 
-    tables, sed, bands = build_radiation_tables(
+    tables, sed, bands = build_quadrature_tables(
         SEDConfig(bb=BlackBodySED(T_eff=5e4, S_star=3e51)),
         isothermal=True, dtype=dtype)
     dr = 50.0 * const.kpc / MESH

@@ -1,0 +1,103 @@
+"""Photon-conservation accounting.
+
+Re-implementation of ``code/files_for_3D/photonstatistics.f90``: the
+running audit that compares ionizations + recombinations against the
+photons emitted every timestep -- the reference's built-in correctness
+invariant (photonstatistics.f90:272-318).
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from . import constants as const
+from .chemistry import IonFractions, electrondens
+from .rates import RateCoeffs
+from .state import GridState
+
+
+class SpeciesInventory(NamedTuple):
+    """Volume-integrated atom counts per species (state_before/after,
+    photonstatistics.f90:117-144)."""
+
+    h0: jnp.ndarray
+    h1: jnp.ndarray
+    he0: jnp.ndarray
+    he1: jnp.ndarray
+    he2: jnp.ndarray
+
+
+def species_inventory(state: GridState, vol, use_start=True
+                      ) -> SpeciesInventory:
+    nd = state.ndens
+    if use_start:
+        f = (state.h0, state.h1, state.he0, state.he1, state.he2)
+    else:
+        f = (state.h_int0, state.h_int1, state.he_int0, state.he_int1,
+             state.he_int2)
+    ab_h = vol * (1.0 - const.abu_he)
+    ab_he = vol * const.abu_he
+    return SpeciesInventory(
+        h0=jnp.sum(nd * f[0]) * ab_h,
+        h1=jnp.sum(nd * f[1]) * ab_h,
+        he0=jnp.sum(nd * f[2]) * ab_he,
+        he1=jnp.sum(nd * f[3]) * ab_he,
+        he2=jnp.sum(nd * f[4]) * ab_he,
+    )
+
+
+class PhotonBudget(NamedTuple):
+    """One timestep's photon budget (report_photonstatistics,
+    photonstatistics.f90:272-318)."""
+
+    total_ion: jnp.ndarray        # new ionizations (atoms)
+    totrec: jnp.ndarray           # recombinations not producing ions
+    totcollisions: jnp.ndarray    # collisional ionizations
+    recomions: jnp.ndarray        # He-recombination-driven ionizations
+    total_src: jnp.ndarray        # photons emitted
+    photon_conservation: jnp.ndarray  # (ion - coll - recomion)/src
+
+
+def total_rates(state: GridState, rates: RateCoeffs, vol, dt):
+    """Recombination / collisional budgets over the step using the
+    time-averaged fractions (total_rates, photonstatistics.f90:150-203)."""
+    nd = state.ndens
+    avg = IonFractions(state.h_av0, state.h_av1, state.he_av0,
+                       state.he_av1, state.he_av2)
+    ne = electrondens(nd, avg)
+    cl = state.clumping
+
+    totrec = jnp.sum(nd * (avg.h1 * rates.brech0 * (1.0 - const.abu_he)
+                           + avg.he1 * rates.breche0 * const.abu_he * 0.04)
+                     * ne * cl) * vol * dt
+    totcollisions = jnp.sum(
+        nd * ne * (avg.h0 * rates.colli_HI + avg.he0 * rates.colli_HeI
+                   + avg.he1 * rates.colli_HeII)) * vol * dt
+    recomions = jnp.sum(
+        nd * const.abu_he * cl
+        * (avg.he2 * 1.121 * rates.breche1 + avg.he1 * rates.breche0 * 0.96)
+        * const.abu_he * ne) * vol * dt
+    return totrec, totcollisions, recomions
+
+
+def photon_budget(before: SpeciesInventory, state: GridState,
+                  rates: RateCoeffs, vol, dt, total_src) -> PhotonBudget:
+    """Full conservation report for one step.
+
+    ``total_src``: photons emitted = sum(NormFlux)*S_star*dt
+    (photonstatistics.f90:282-288).
+    """
+    after = species_inventory(state, vol, use_start=True)
+    # total_ionizations (photonstatistics.f90:239-247)
+    dh0 = before.h0 - after.h0
+    dhe0 = before.he0 - after.he0
+    dhe2 = after.he2 - before.he2
+    total_ion = dh0 + dhe0 + dhe2
+
+    totrec, totcoll, recomions = total_rates(state, rates, vol, dt)
+    photcons = (total_ion - totcoll - recomions) / jnp.maximum(
+        total_src, 1e-300 if total_ion.dtype == jnp.float64 else 1e-30)
+    return PhotonBudget(
+        total_ion=total_ion, totrec=totrec, totcollisions=totcoll,
+        recomions=recomions, total_src=jnp.asarray(total_src),
+        photon_conservation=photcons)

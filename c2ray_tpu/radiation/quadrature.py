@@ -1,0 +1,318 @@
+"""Gather-free photo-ionization rates via exponential-sum quadrature.
+
+TPU-native replacement for the tau-table lookup of
+``radiation_photoionrates.f90``: instead of interpolating precomputed
+Romberg tables (random gathers from a (2001, nbands) table are the
+dominant cost on TPU -- ~21 ms per 2.3M-element gather), evaluate the
+band integral directly with Gauss-Legendre quadrature:
+
+    G_b(tau)      = int SED(nu) e^{-tau sighat(nu)} dnu
+                  ~ sum_k A_{bk} e^{-tau sighat_{bk}}
+    Gthin_b(tau)  ~ sum_k A_{bk} sighat_{bk} e^{-tau sighat_{bk}}
+    H_{b,s}(tau)  ~ sum_k A_{bk} h(nu_k - nu_s) e^{-tau sighat_{bk}}
+
+with sighat(nu) = (nu/nu_min)^{-pli_b}, exactly the reference's
+integrand (radiation_tables.f90:593-783).  A K-node rule per sub-band
+is spectrally accurate for these smooth narrow-band integrands (K=16
+default beats the 2000-row table's linear interpolation error), and the
+runtime cost is K exponentials per (cell, band) on the VPU -- no memory
+traffic at all.
+
+The same attenuation factors e^{-tau sighat_k} serve the photo rate,
+the thin variant and all three heating species, so they are computed
+once per optical-depth set.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as const
+from .bands import Bands, make_bands
+from .photo import (PhotRates, TAU_HEAT_LIMIT, TAU_PHOTO_LIMIT, _AR2, _BR1,
+                    _BR2, _CR1, _CR2, _DR1, zero_photrates)
+from .sed import (SEDConfig, blackbody_photon_density, normalize_seds,
+                  powerlaw_photon_density)
+
+DEFAULT_NODES = 16
+
+
+class SourceQuad(NamedTuple):
+    """Quadrature data for one source type, shapes (nbands, K)."""
+
+    sigma_hat: jnp.ndarray   # attenuation exponents (nu/nu_min)^-pli
+    A_photo: jnp.ndarray     # photon-rate coefficients (scaled)
+    A_heat_HI: Optional[jnp.ndarray]
+    A_heat_HeI: Optional[jnp.ndarray]
+    A_heat_HeII: Optional[jnp.ndarray]
+
+
+class QuadTables(NamedTuple):
+    """Everything the gather-free rate evaluation needs."""
+
+    bb: Optional[SourceQuad]
+    pl: Optional[SourceQuad]
+    qso: Optional[SourceQuad]
+    sigma_HI: jnp.ndarray
+    sigma_HeI: jnp.ndarray
+    sigma_HeII: jnp.ndarray
+    f1ion_HI: jnp.ndarray
+    f1ion_HeI: jnp.ndarray
+    f1ion_HeII: jnp.ndarray
+    f2ion_HI: jnp.ndarray
+    f2ion_HeI: jnp.ndarray
+    f2ion_HeII: jnp.ndarray
+    f1heat_HI: jnp.ndarray
+    f1heat_HeI: jnp.ndarray
+    f1heat_HeII: jnp.ndarray
+    f2heat_HI: jnp.ndarray
+    f2heat_HeI: jnp.ndarray
+    f2heat_HeII: jnp.ndarray
+    mask_HeI: jnp.ndarray
+    mask_HeII: jnp.ndarray
+
+
+def _band_quadrature(bands: Bands, sed_fn, band_lo, band_hi, isothermal,
+                     n_nodes, dtype):
+    nb = bands.nbands
+    K = n_nodes
+    xk, wk = np.polynomial.legendre.leggauss(K)
+
+    sigma_hat = np.zeros((nb, K))
+    A_photo = np.zeros((nb, K))
+    A_heat = None if isothermal else np.zeros((3, nb, K))
+    thresholds = (const.ion_freq_HI, const.ion_freq_HeI, const.ion_freq_HeII)
+
+    for b in range(nb):
+        if b < band_lo or b > band_hi:
+            # zero coefficients; keep sigma_hat at 1 to avoid exp(0*...)
+            sigma_hat[b] = 1.0
+            continue
+        lo, hi = bands.freq_min[b], bands.freq_max[b]
+        nu = 0.5 * (hi - lo) * xk + 0.5 * (hi + lo)
+        w = 0.5 * (hi - lo) * wk
+        if b < bands.nbnd1:
+            pli = bands.pli_HI[b]
+            species = (0,)
+        elif b < bands.nbnd1 + bands.nbnd2:
+            pli = bands.pli_HeI[b]
+            species = (0, 1)
+        else:
+            pli = bands.pli_HeII[b]
+            species = (0, 1, 2)
+        sigma_hat[b] = (nu / lo) ** (-pli)
+        A_photo[b] = w * sed_fn(nu)
+        if A_heat is not None:
+            for s in species:
+                A_heat[s, b] = A_photo[b] * const.hplanck * (
+                    nu - thresholds[s])
+
+    to = lambda a: jnp.asarray(a, dtype=dtype)
+    return SourceQuad(
+        sigma_hat=to(sigma_hat),
+        A_photo=to(A_photo),
+        A_heat_HI=None if A_heat is None else to(A_heat[0]),
+        A_heat_HeI=None if A_heat is None else to(A_heat[1]),
+        A_heat_HeII=None if A_heat is None else to(A_heat[2]),
+    )
+
+
+def build_quadrature_tables(sed: SEDConfig, bands: Optional[Bands] = None, *,
+                            isothermal=False, dtype=jnp.float32,
+                            n_nodes: int = DEFAULT_NODES,
+                            flux_scale: Optional[float] = None):
+    """Quadrature analog of `build_radiation_tables`.
+
+    Returns (QuadTables, normalized SEDConfig, Bands-with-flux_scale).
+    """
+    from .tables import _bb_band_limits, _pl_band_limits
+
+    if bands is None:
+        bands = make_bands()
+    sed = normalize_seds(sed, bands.freq_min[0], bands.freq_max[-1],
+                         edges=bands.freq_max[:-1])
+    if flux_scale is None:
+        if dtype == jnp.float64:
+            flux_scale = 1.0
+        else:
+            flux_scale = sum(s.S_star for s in (sed.bb, sed.pl, sed.qso)
+                             if s is not None)
+    inv = 1.0 / flux_scale
+
+    bb = pl = qso = None
+    if sed.bb is not None:
+        lo, hi = _bb_band_limits(bands, sed.bb.h_over_kT)
+        R2 = sed.bb.R_star**2
+        bb = _band_quadrature(
+            bands,
+            lambda f: inv * 4.0 * const.pi * R2
+            * blackbody_photon_density(f, sed.bb.h_over_kT),
+            lo, hi, isothermal, n_nodes, dtype)
+    if sed.pl is not None:
+        lo, hi = _pl_band_limits(bands, sed.pl.min_freq, sed.pl.max_freq)
+        pl = _band_quadrature(
+            bands, lambda f: inv * sed.pl.scaling
+            * powerlaw_photon_density(f, sed.pl.index),
+            lo, hi, isothermal, n_nodes, dtype)
+    if sed.qso is not None:
+        lo, hi = _pl_band_limits(bands, sed.qso.min_freq, sed.qso.max_freq)
+        qso = _band_quadrature(
+            bands, lambda f: inv * sed.qso.scaling
+            * powerlaw_photon_density(f, sed.qso.index),
+            lo, hi, isothermal, n_nodes, dtype)
+
+    nb = bands.nbands
+    n1, n2 = bands.nbnd1, bands.nbnd2
+    zeros = np.zeros(nb)
+    f = {name: getattr(bands, name) if getattr(bands, name) is not None
+         else zeros
+         for name in ("f1ion_HI", "f1ion_HeI", "f1ion_HeII",
+                      "f2ion_HI", "f2ion_HeI", "f2ion_HeII",
+                      "f1heat_HI", "f1heat_HeI", "f1heat_HeII",
+                      "f2heat_HI", "f2heat_HeI", "f2heat_HeII")}
+    arr = lambda a: jnp.asarray(a, dtype=dtype)
+    qt = QuadTables(
+        bb=bb, pl=pl, qso=qso,
+        sigma_HI=arr(bands.sigma_HI), sigma_HeI=arr(bands.sigma_HeI),
+        sigma_HeII=arr(bands.sigma_HeII),
+        mask_HeI=arr((np.arange(nb) >= n1).astype(float)),
+        mask_HeII=arr((np.arange(nb) >= n1 + n2).astype(float)),
+        **{k: arr(v) for k, v in f.items()},
+    )
+    import dataclasses
+    bands = dataclasses.replace(bands, flux_scale=float(flux_scale))
+    return qt, sed, bands
+
+
+def _attenuation(sq: SourceQuad, tau):
+    """e^{-tau sighat_k}: tau (..., nb) -> (..., nb, K)."""
+    expo = tau[..., None] * sq.sigma_hat
+    return jnp.exp(-jnp.minimum(expo, 80.0))
+
+
+def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux, tau_in, tau_out,
+                     tau_cell_HI, tau_cell_HeI, tau_cell_HeII,
+                     vol, i_state, scaling_HI, scaling_HeI, scaling_HeII,
+                     do_heating) -> PhotRates:
+    """Photo + heating rates for one source type (quadrature path)."""
+    nfl = nflux[..., None]
+    volk = vol[..., None]
+    E_in = _attenuation(sq, tau_in)     # (..., nb, K)
+    E_out = _attenuation(sq, tau_out)
+    dtau = tau_out - tau_in
+
+    phi_in = nfl * (sq.A_photo * E_in).sum(-1)
+    thick = jnp.abs(dtau) > TAU_PHOTO_LIMIT
+    phi_all_thick = nfl * (sq.A_photo * (E_in - E_out)).sum(-1)
+    phi_all_thin = nfl * dtau * (sq.A_photo * sq.sigma_hat * E_in).sum(-1)
+    phi_all = jnp.where(thick, phi_all_thick, phi_all_thin)
+    phi_out = phi_in - phi_all
+
+    photo_cell_HI = (scaling_HI * phi_all / volk).sum(-1)
+    photo_cell_HeI = (qt.mask_HeI * scaling_HeI * phi_all / volk).sum(-1)
+    photo_cell_HeII = (qt.mask_HeII * scaling_HeII * phi_all / volk).sum(-1)
+
+    z = jnp.zeros_like(photo_cell_HI)
+    out = PhotRates(
+        photo_cell_HI=photo_cell_HI, photo_cell_HeI=photo_cell_HeI,
+        photo_cell_HeII=photo_cell_HeII, heat=z,
+        photo_in=phi_in.sum(-1), photo_out=phi_out.sum(-1))
+
+    if not do_heating or sq.A_heat_HI is None:
+        return out
+
+    hthick = jnp.abs(dtau) > TAU_HEAT_LIMIT
+
+    def species_heat(A, tau_cell, scaling, mask):
+        ph_thick = scaling * nfl * (A * (E_in - E_out)).sum(-1) / volk
+        ph_thin = nfl * tau_cell * (A * sq.sigma_hat * E_in).sum(-1) / volk
+        return mask * jnp.where(hthick, ph_thick, ph_thin)
+
+    one = jnp.ones_like(qt.mask_HeI)
+    ph_HI = species_heat(sq.A_heat_HI, tau_cell_HI, scaling_HI, one)
+    ph_HeI = species_heat(sq.A_heat_HeI, tau_cell_HeI, scaling_HeI,
+                          qt.mask_HeI)
+    ph_HeII = species_heat(sq.A_heat_HeII, tau_cell_HeII, scaling_HeII,
+                           qt.mask_HeII)
+
+    df_heat = ph_HI + ph_HeI + ph_HeII
+    x = i_state[..., None]
+
+    def y1R(i):
+        return _CR1[i] * (1.0 - x ** _BR1[i]) ** _DR1[i]
+
+    def y2R(i):
+        xeb = 1.0 - x ** _BR2[i]
+        return _CR2[i] * x ** _AR2[i] * xeb * xeb
+
+    fra1 = qt.f1ion_HI * ph_HI + qt.f1ion_HeI * ph_HeI + qt.f1ion_HeII * ph_HeII
+    fra2 = qt.f2ion_HI * ph_HI + qt.f2ion_HeI * ph_HeI + qt.f2ion_HeII * ph_HeII
+    fra3 = qt.f1heat_HI * ph_HI + qt.f1heat_HeI * ph_HeI + qt.f1heat_HeII * ph_HeII
+    fra4 = qt.f2heat_HI * ph_HI + qt.f2heat_HeI * ph_HeI + qt.f2heat_HeII * ph_HeII
+
+    f_heat = (df_heat - y1R(2) * fra3 + y2R(2) * fra4).sum(-1)
+    f_ion_HI = (y1R(0) * fra1 - y2R(0) * fra2).sum(-1)
+    f_ion_HeI = (y1R(1) * fra1 - y2R(1) * fra2).sum(-1)
+
+    return PhotRates(
+        photo_cell_HI=out.photo_cell_HI
+        + f_ion_HI / (const.ion_freq_HI * const.hplanck),
+        photo_cell_HeI=out.photo_cell_HeI
+        + f_ion_HeI / (const.ion_freq_HeI * const.hplanck),
+        photo_cell_HeII=out.photo_cell_HeII,
+        heat=f_heat,
+        photo_in=out.photo_in, photo_out=out.photo_out)
+
+
+def photoion_rates_quad(
+    qt: QuadTables,
+    colum_in_HI, colum_out_HI,
+    colum_in_HeI, colum_out_HeI,
+    colum_in_HeII, colum_out_HeII,
+    vol,
+    i_state,
+    nflux_bb=None,
+    nflux_pl=None,
+    nflux_qso=None,
+    do_heating: bool = True,
+) -> PhotRates:
+    """Drop-in quadrature version of `photoion_rates` (same contract)."""
+    cd_in_HI = jnp.asarray(colum_in_HI)
+    shape = cd_in_HI.shape
+    dtype = cd_in_HI.dtype
+    vol = jnp.broadcast_to(jnp.asarray(vol, dtype=dtype), shape)
+    i_state = jnp.broadcast_to(jnp.asarray(i_state, dtype=dtype), shape)
+
+    cc_HI = colum_out_HI - cd_in_HI
+    cc_HeI = colum_out_HeI - colum_in_HeI
+    cc_HeII = colum_out_HeII - colum_in_HeII
+
+    sig_HI, sig_HeI, sig_HeII = qt.sigma_HI, qt.sigma_HeI, qt.sigma_HeII
+    tau_in = (cd_in_HI[..., None] * sig_HI
+              + colum_in_HeI[..., None] * sig_HeI
+              + colum_in_HeII[..., None] * sig_HeII)
+    tau_out = (colum_out_HI[..., None] * sig_HI
+               + colum_out_HeI[..., None] * sig_HeI
+               + colum_out_HeII[..., None] * sig_HeII)
+
+    s_HI = sig_HI * cc_HI[..., None]
+    s_HeI = sig_HeI * cc_HeI[..., None]
+    s_HeII = sig_HeII * cc_HeII[..., None]
+    denom = s_HI + s_HeI + s_HeII
+    inv = 1.0 / jnp.maximum(denom, jnp.finfo(dtype).tiny)
+    scaling_HI = s_HI * inv
+    scaling_HeI = s_HeI * inv
+    scaling_HeII = s_HeII * inv
+
+    phi = zero_photrates(shape, dtype)
+    for sq, nflux in ((qt.bb, nflux_bb), (qt.pl, nflux_pl),
+                      (qt.qso, nflux_qso)):
+        if sq is None or nflux is None:
+            continue
+        nflux = jnp.broadcast_to(jnp.asarray(nflux, dtype=dtype), shape)
+        phi = phi + _one_source_quad(
+            qt, sq, nflux, tau_in, tau_out,
+            s_HI, s_HeI, s_HeII, vol, i_state,
+            scaling_HI, scaling_HeI, scaling_HeII, do_heating)
+    return phi

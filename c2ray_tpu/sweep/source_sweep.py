@@ -24,6 +24,7 @@ import numpy as np
 from .. import constants as const
 from ..chemistry import coldens
 from ..radiation.photo import photoion_rates
+from ..radiation.quadrature import QuadTables, photoion_rates_quad
 from ..radiation.tables import RadiationTables
 from .cinterp import cinterp_shell
 from .geometry import ShellTable
@@ -36,7 +37,9 @@ MAX_COLDENSH = 2.0e29
 class SweepConfig:
     """Static sweep configuration."""
 
-    tables: RadiationTables
+    # RadiationTables (tau-table lookup) or QuadTables (gather-free
+    # exponential-sum quadrature; the fast path on TPU)
+    tables: object
     mesh: int
     dr: float
     isothermal: bool = False
@@ -85,8 +88,9 @@ def zero_rate_grids(mesh: int, dtype) -> RateGrids:
 
 
 def _cell_rates(cfg: SweepConfig, cd_in, cd_out, vol_ph, nflux, i_state):
-    one = lambda x: x
-    return photoion_rates(
+    fn = (photoion_rates_quad if isinstance(cfg.tables, QuadTables)
+          else photoion_rates)
+    return fn(
         cfg.tables,
         cd_in[0], cd_out[0], cd_in[1], cd_out[1], cd_in[2], cd_out[2],
         vol_ph, i_state,
@@ -235,13 +239,34 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
 
 def sweep_sources_accumulate(cfg: SweepConfig, shells: ShellTable,
                              fields: SourceFields,
-                             srcpos_batch, nflux_batch) -> RateGrids:
-    """Trace a batch of sources sequentially, accumulating rates.
+                             srcpos_batch, nflux_batch,
+                             batch_size: int = 8) -> RateGrids:
+    """Trace a batch of sources, accumulating rates.
 
     srcpos_batch: (S, 3) int32; nflux_batch: (S, 3).  Sources with all
     fluxes zero are no-ops (used for padding in sharded runs).
+
+    Sources are processed ``batch_size`` at a time with `vmap` inside
+    the shell scan: the wavefront shells of different sources are
+    mutually independent, so batching multiplies the per-scan-step work
+    by the batch size without extra sequential steps.  This is the TPU
+    analog of the reference running sources on different OpenMP
+    threads/MPI ranks (evolve_source.F90:149-194, master_slave.F90) --
+    but batched into one kernel instead of thread-parallel.
     """
     dtype = fields.ndens.dtype
+    S = srcpos_batch.shape[0]
+    B = min(batch_size, S)
+    pad = (-S) % B
+    if pad:
+        srcpos_batch = jnp.concatenate(
+            [srcpos_batch, jnp.zeros((pad, 3), srcpos_batch.dtype)], axis=0)
+        nflux_batch = jnp.concatenate(
+            [nflux_batch, jnp.zeros((pad, 3), nflux_batch.dtype)], axis=0)
+    n_groups = (S + pad) // B
+    srcpos_g = srcpos_batch.reshape(n_groups, B, 3)
+    nflux_g = nflux_batch.reshape(n_groups, B, 3)
+
     rates0 = zero_rate_grids(cfg.mesh, dtype)
     # tie the zero-initialised accumulators to the (possibly sharded)
     # source inputs so their device-variance matches the scan body under
@@ -249,13 +274,22 @@ def sweep_sources_accumulate(cfg: SweepConfig, shells: ShellTable,
     tie = jnp.asarray(nflux_batch, dtype=dtype).ravel()[0] * 0.0
     rates0 = jax.tree.map(lambda a: a + tie, rates0)
 
-    def body(rates, src):
-        srcpos, nflux = src
-        new = sweep_one_source(cfg, shells, fields, srcpos, nflux, rates)
-        # padded (zero-flux) sources contribute nothing
-        is_live = jnp.any(nflux > 0.0)
-        out = jax.tree.map(lambda a, b: jnp.where(is_live, b, a), rates, new)
-        return out, None
+    empty = jax.tree.map(jnp.zeros_like, rates0)
 
-    rates, _ = jax.lax.scan(body, rates0, (srcpos_batch, nflux_batch))
+    def group(rates, src):
+        srcpos, nflux = src  # (B, 3), (B, 3)
+        per_source = jax.vmap(
+            lambda sp, nf: sweep_one_source(cfg, shells, fields, sp, nf,
+                                            empty))(srcpos, nflux)
+        # zero out padded (zero-flux) sources, then reduce over the batch
+        live = jnp.any(nflux > 0.0, axis=1)
+
+        def reduce_leaf(acc, leaf):
+            lv = live.reshape((B,) + (1,) * (leaf.ndim - 1))
+            return acc + jnp.sum(jnp.where(lv, leaf, 0.0), axis=0)
+
+        rates = jax.tree.map(reduce_leaf, rates, per_source)
+        return rates, None
+
+    rates, _ = jax.lax.scan(group, rates0, (srcpos_g, nflux_g))
     return rates
