@@ -14,6 +14,7 @@ from ..cooling import setup_cooling_tables
 from ..cosmology import CosmoClock
 from ..grid import RadialGrid
 from ..radiation.bands import make_bands
+from ..radiation.quadrature import build_quadrature_tables
 from ..radiation.sed import SEDConfig
 from ..radiation.tables import build_radiation_tables
 from .evolve import OneDContext, State1D, make_evolve1d
@@ -36,10 +37,18 @@ class OneDRun:
     @classmethod
     def setup(cls, problem: OneDProblem, grid: RadialGrid, sed: SEDConfig,
               nbnd2: int = 26, nbnd3: int = 20,
-              dtype=jnp.float64) -> "OneDRun":
-        """Init sequence (files_for_1D/C2Ray.F90:70-125)."""
+              dtype=jnp.float64, use_quadrature: bool = True) -> "OneDRun":
+        """Init sequence (files_for_1D/C2Ray.F90:70-125).
+
+        ``use_quadrature``: evaluate band integrals with the gather-free
+        exponential-sum rule (more accurate than the reference's
+        tau-table interpolation); False selects the table path for
+        reference-parity studies.
+        """
         bands = make_bands(nbnd2, nbnd3)
-        tables, sed_norm, bands = build_radiation_tables(
+        build = (build_quadrature_tables if use_quadrature
+                 else build_radiation_tables)
+        tables, sed_norm, bands = build(
             sed, bands, isothermal=problem.isothermal, dtype=dtype)
         cooling = (None if problem.isothermal
                    else setup_cooling_tables(dtype=dtype))

@@ -28,6 +28,7 @@ from ..chemistry import (IonFractions, IonState, coldens, doric,
                          electrondens, prepare_doric_factors)
 from ..cooling import CoolingTables
 from ..radiation.photo import photoion_rates
+from ..radiation.quadrature import QuadTables, photoion_rates_quad
 from ..radiation.tables import RadiationTables
 from ..rates import rate_coefficients
 from ..thermal import thermal
@@ -53,7 +54,7 @@ class State1D(NamedTuple):
 class OneDContext:
     """Static configuration + device tables for the 1D solver."""
 
-    tables: RadiationTables
+    tables: object  # RadiationTables or QuadTables
     cooling: Optional[CoolingTables]
     dr: float
     vol: jnp.ndarray                # (mesh,) shell volumes
@@ -74,7 +75,9 @@ class OneDContext:
 def _cell_photorates(ctx: OneDContext, cd_in, cc_cell, vol_ph, i_state):
     """photoion_rates for one cell given incoming columns and cell columns."""
     one = jnp.ones(())
-    return photoion_rates(
+    fn = (photoion_rates_quad if isinstance(ctx.tables, QuadTables)
+          else photoion_rates)
+    return fn(
         ctx.tables,
         cd_in[0], cd_in[0] + cc_cell[0],
         cd_in[1], cd_in[1] + cc_cell[1],

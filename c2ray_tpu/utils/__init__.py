@@ -1,0 +1,4 @@
+from .clocks import Clocks
+from .report_memory import memory_report
+
+__all__ = ["Clocks", "memory_report"]
