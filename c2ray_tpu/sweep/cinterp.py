@@ -7,8 +7,11 @@ The reference handles the three ray orientations (z/y/x-plane crossing)
 as separate scalar branches.  Here the dominant axis is selected per
 cell and the other two axes are permuted into a canonical (u, v) pair,
 making the bilinear corner interpolation one branch-free vector
-computation; the three species reuse the same corner gather with
-per-species opacity-biased weights (weightf, column_density.f90:351-376).
+computation.  The three species' column-density grids are stored
+interleaved as one (ncells, 3) array so each corner fetch is a single
+gather of 3-vectors (TPU gathers cost per index, not per byte), with
+per-species opacity-biased weights (weightf,
+column_density.f90:351-376) applied vectorised over the trailing axis.
 """
 
 from typing import Tuple
@@ -22,6 +25,10 @@ SQRT3 = 1.7320508075688772
 # weightf clamp (column_density.f90:358,372)
 MIN_WEIGHT_DENOM = 0.6
 
+# species threshold cross sections, order (HI, HeI, HeII)
+_SIGMAS = (const.sigma_HI_at_ion_freq, const.sigma_HeI_at_ion_freq,
+           const.sigma_HeII_at_ion_freq)
+
 
 def _fsign(x):
     """Fortran sign(1, x): +1 for x >= 0 else -1."""
@@ -32,15 +39,13 @@ def cinterp_shell(
     offsets,            # (N, 3) int32: (di, dj, dk) from source
     srcpos,             # (3,) int32: source cell (0-based)
     mesh: int,
-    cdh_flat,           # (mesh^3,) outgoing HI column densities
-    cdhe0_flat,         # (mesh^3,)
-    cdhe1_flat,         # (mesh^3,)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    cd_all,             # (mesh^3, 3): outgoing columns (HI, HeI, HeII)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Incoming column densities + path length for a shell of cells.
 
-    Returns (cdensi_HI, cdensi_HeI, cdensi_HeII, path_in_cell_units).
+    Returns (cdensi (N, 3), path (N,) in cell units).
     """
-    dtype = cdh_flat.dtype
+    dtype = cd_all.dtype
     d = offsets  # (N, 3)
     da = jnp.abs(d)
     idela, jdela, kdela = da[:, 0], da[:, 1], da[:, 2]
@@ -67,23 +72,19 @@ def cinterp_shell(
     # alam = (d_dom - sgn*0.5)/d_dom   (column_density.f90:111)
     alam = (d_dom - 0.5 * sgn_dom.astype(dtype)) / d_dom
     # fractional distances to the u/v "minus" corners
-    # du = 2|uc - (u_m + 0.5 sgn_u)| in offset coordinates
     du = 2.0 * jnp.abs(alam * d_u - (d_u - 0.5 * sgn_u.astype(dtype)))
     dv = 2.0 * jnp.abs(alam * d_v - (d_v - 0.5 * sgn_v.astype(dtype)))
 
-    # geometric bilinear weights for the 4 corners:
-    # corner (u_m, v_m): (1-du)(1-dv); (u, v_m): du(1-dv);
-    # (u_m, v): (1-du)dv; (u, v): du dv   (column_density.f90:119-122)
+    # bilinear weights for corners (u_m,v_m),(u,v_m),(u_m,v),(u,v)
+    # (column_density.f90:119-122)
     s1 = (1.0 - du) * (1.0 - dv)
     s2 = du * (1.0 - dv)
     s3 = (1.0 - du) * dv
     s4 = du * dv
 
-    # absolute corner positions (periodic)
-    pos = (srcpos[None, :] + d) % mesh                    # (N, 3) cell itself
+    pos = (srcpos[None, :] + d) % mesh                    # (N, 3)
 
     def corner_flat(u_minus: bool, v_minus: bool):
-        # dominant axis always steps toward the source
         c = pos.astype(jnp.int32)
         cd_ = c[nidx, dom] - sgn_dom
         cu = c[nidx, u_ax] - (sgn_u if u_minus else 0)
@@ -91,22 +92,27 @@ def cinterp_shell(
         cd_ = jnp.mod(cd_, mesh)
         cu = jnp.mod(cu, mesh)
         cv = jnp.mod(cv, mesh)
-        # scatter back into (x, y, z) order then flatten
         cx = jnp.where(dom == 0, cd_, jnp.where(u_ax == 0, cu, cv))
         cy = jnp.where(dom == 1, cd_, jnp.where(u_ax == 1, cu, cv))
         cz = jnp.where(dom == 2, cd_, jnp.where(v_ax == 2, cv, cu))
         return (cx * mesh + cy) * mesh + cz
 
-    f1 = corner_flat(True, True)     # (u_m, v_m)
-    f2 = corner_flat(False, True)    # (u, v_m)
-    f3 = corner_flat(True, False)    # (u_m, v)
-    f4 = corner_flat(False, False)   # (u, v)
+    # one (N, 3) gather per corner
+    c1 = cd_all[corner_flat(True, True)]
+    c2 = cd_all[corner_flat(False, True)]
+    c3 = cd_all[corner_flat(True, False)]
+    c4 = cd_all[corner_flat(False, False)]
 
-    geo = (s1, s2, s3, s4)
-    flats = (f1, f2, f3, f4)
+    sig = jnp.asarray(_SIGMAS, dtype=dtype)               # (3,)
 
-    # diagonal boost (column_density.f90:174-184): applies when the
-    # dominant offset is exactly 1 and at least one other offset is 1
+    def w(s_geo, c):
+        return s_geo[:, None] / jnp.maximum(MIN_WEIGHT_DENOM, c * sig)
+
+    w1, w2, w3, w4 = w(s1, c1), w(s2, c2), w(s3, c3), w(s4, c4)
+    wsum = w1 + w2 + w3 + w4
+    cdensi = (c1 * w1 + c2 * w2 + c3 * w3 + c4 * w4) / wsum  # (N, 3)
+
+    # diagonal boost (column_density.f90:174-184)
     d_dom_a = da[nidx, dom]
     d_u_a = da[nidx, u_ax]
     d_v_a = da[nidx, v_ax]
@@ -114,21 +120,9 @@ def cinterp_shell(
     full_diag = (d_u_a == 1) & (d_v_a == 1)
     diag_boost = jnp.where(
         on_diag, jnp.where(full_diag, SQRT3, SQRT2), 1.0).astype(dtype)
-
-    def interp(cd_flat, sigma):
-        cs = [cd_flat[f] for f in flats]
-        ws = [s / jnp.maximum(MIN_WEIGHT_DENOM, c * sigma)
-              for s, c in zip(geo, cs)]
-        wsum = ws[0] + ws[1] + ws[2] + ws[3]
-        cd = (cs[0] * ws[0] + cs[1] * ws[1] + cs[2] * ws[2]
-              + cs[3] * ws[3]) / wsum
-        return cd * diag_boost
-
-    cdensi = interp(cdh_flat, const.sigma_HI_at_ion_freq)
-    cdensihe0 = interp(cdhe0_flat, const.sigma_HeI_at_ion_freq)
-    cdensihe1 = interp(cdhe1_flat, const.sigma_HeII_at_ion_freq)
+    cdensi = cdensi * diag_boost[:, None]
 
     # path length through the cell (column_density.f90:194,269,341)
     path = jnp.sqrt((d_u * d_u + d_v * d_v) / (d_dom * d_dom) + 1.0)
 
-    return cdensi, cdensihe0, cdensihe1, path
+    return cdensi, path

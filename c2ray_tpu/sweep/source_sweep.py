@@ -4,14 +4,20 @@ Re-implementation of the hot path of the reference:
 ``do_source`` (evolve_source.F90:66-238) + ``evolve0D``
 (evolve_point.F90:79-319), re-expressed as a `lax.scan` over causal L1
 wavefront shells with every shell processed as one vectorised batch
-(cinterp gather -> 47-band table lookup -> scatter of rates and
+(cinterp gather -> quadrature band rates -> scatter of rates and
 outgoing column densities).
 
-Source batching: `sweep_sources_accumulate` scans over the source list
-and accumulates the photo-ionization/heating rate grids, the SPMD analog
-of the reference's source loop + MPI_ALLREDUCE(SUM)
-(master_slave.F90:62-95, evolve.F90:505-548); sharding over devices is
-layered on top in `c2ray_tpu.parallel`.
+TPU layout notes: gathers and scatters on TPU cost per *index*, so the
+three species' column grids are interleaved as one (ncells, 3) array
+and the four rate grids as (ncells, 4) -- each corner fetch / rate
+deposit moves a small vector per index instead of repeating the index
+walk per field.
+
+Source batching: `sweep_sources_accumulate` processes sources in vmapped
+groups; the accumulated rate grids are the SPMD analog of the
+reference's source loop + MPI_ALLREDUCE(SUM) (master_slave.F90:62-95,
+evolve.F90:505-548); device sharding is layered on top in
+`c2ray_tpu.parallel`.
 """
 
 from dataclasses import dataclass
@@ -31,6 +37,9 @@ from .geometry import ShellTable
 
 # evolve_point.F90:91 -- stop rate computation in fully shielded cells
 MAX_COLDENSH = 2.0e29
+
+# abundance weights per species column, order (HI, HeI, HeII)
+_ABU = (1.0 - const.abu_he, const.abu_he, const.abu_he)
 
 
 @dataclass(frozen=True)
@@ -54,6 +63,7 @@ class SweepConfig:
     has_bb: bool = True
     has_pl: bool = False
     has_qso: bool = False
+    source_batch: int = 8
 
     @property
     def vol(self) -> float:
@@ -88,17 +98,121 @@ def zero_rate_grids(mesh: int, dtype) -> RateGrids:
 
 
 def _cell_rates(cfg: SweepConfig, cd_in, cd_out, vol_ph, nflux, i_state):
+    """cd_in/cd_out: (..., 3) species columns."""
     fn = (photoion_rates_quad if isinstance(cfg.tables, QuadTables)
           else photoion_rates)
     return fn(
         cfg.tables,
-        cd_in[0], cd_out[0], cd_in[1], cd_out[1], cd_in[2], cd_out[2],
+        cd_in[..., 0], cd_out[..., 0], cd_in[..., 1], cd_out[..., 1],
+        cd_in[..., 2], cd_out[..., 2],
         vol_ph, i_state,
         nflux_bb=nflux[0] if cfg.has_bb else None,
         nflux_pl=nflux[1] if cfg.has_pl else None,
         nflux_qso=nflux[2] if cfg.has_qso else None,
         do_heating=not cfg.isothermal,
     )
+
+
+def _sweep_one_source_stacked(cfg: SweepConfig, shells_xs, fstack,
+                              srcpos, nflux):
+    """Trace one source; returns (rate_stack (n, 4), photon_loss).
+
+    fstack: (n, 5) stacked fields [ndens, h_av0, h_av1, he_av0, he_av1]
+    (epsilon-clamps applied by the caller, evolve_point.F90:120-132).
+    """
+    mesh = cfg.mesh
+    n = mesh**3
+    dtype = fstack.dtype
+    dr = jnp.asarray(cfg.dr, dtype=dtype)
+    # volumes are in cell-volume units with the cell volume folded into
+    # the flux scale (cm^3 volumes overflow float32); see SweepConfig
+    vol_over_scale = jnp.asarray(cfg.vol / cfg.flux_scale, dtype=dtype)
+    abu = jnp.asarray(_ABU, dtype=dtype)
+
+    # per-source outgoing-column grid (n+1, 3), one dummy slot for padding
+    # (the reference zeroes mesh^3 arrays per source,
+    # evolve_source.F90:94-95)
+    cd_all = jnp.zeros((n + 1, 3), dtype=dtype)
+    # accumulated rates (n+1, 4): phih, phihe0, phihe1, phiheat.
+    # `ploss` is tied to the source inputs so its device-variance matches
+    # the scan body under shard_map (jax "varying manual axes" typing)
+    rg = jnp.zeros((n + 1, 4), dtype=dtype)
+    ploss = jnp.zeros((), dtype=dtype) + nflux[0] * 0.0
+
+    src_flat = (srcpos[0] * mesh + srcpos[1]) * mesh + srcpos[2]
+
+    def neutral_cols(f):
+        """(..., 5) fields -> neutral-species stack (..., 3):
+        (n*h_av0, n*he_av0, n*he_av1)."""
+        return jnp.stack([f[..., 1], f[..., 3], f[..., 4]], axis=-1) \
+            * f[..., 0:1]
+
+    # ---- source cell (evolve_point.F90:140-151): vol_ph = cell volume
+    f0 = fstack[src_flat]
+    cc0 = neutral_cols(f0) * (0.5 * dr) * abu
+    zero3 = jnp.zeros(3, dtype=dtype)
+    phi0 = _cell_rates(cfg, zero3, cc0, vol_over_scale, nflux, f0[2])
+    cd_all = cd_all.at[src_flat].set(cc0)
+    denom0 = neutral_cols(f0) * abu
+    rates0 = jnp.stack([phi0.photo_cell_HI / denom0[0],
+                        phi0.photo_cell_HeI / denom0[1],
+                        phi0.photo_cell_HeII / denom0[2],
+                        phi0.heat])
+    rg = rg.at[src_flat].add(rates0)
+
+    def shell_step(carry, x):
+        cd_all, rg, ploss = carry
+        offs, mask, on_bound = x  # (W,3), (W,), (W,)
+
+        cd_in, path = cinterp_shell(offs, srcpos, mesh, cd_all[:n])
+        path = path * dr
+
+        pos = jnp.mod(srcpos[None, :] + offs, mesh)
+        flat = (pos[:, 0] * mesh + pos[:, 1]) * mesh + pos[:, 2]
+        safe = jnp.where(mask, flat, n)
+
+        offf = offs.astype(dtype)
+        dist2_cells = (offf[:, 0] ** 2 + offf[:, 1] ** 2
+                       + offf[:, 2] ** 2)
+        vol_ratio = 4.0 * const.pi * dist2_cells * (path / dr)
+
+        # LLS fog adds to the incoming HI column
+        # (evolve_point.F90:177-180)
+        if cfg.coldensh_LLS > 0.0:
+            cd_in = cd_in.at[:, 0].add(cfg.coldensh_LLS * path / dr)
+
+        f = fstack[flat]                                  # (W, 5)
+        ncols = neutral_cols(f)                           # (W, 3)
+
+        # outgoing columns = in + time-averaged cell column
+        # (evolve_point.F90:237-244)
+        cd_out = cd_in + ncols * path[:, None] * abu
+        cd_all = cd_all.at[safe].set(cd_out)
+
+        phi = _cell_rates(cfg, cd_in, cd_out,
+                          vol_ratio * vol_over_scale, nflux, f[:, 2])
+
+        # shielded cells get zero rates (evolve_point.F90:250,279-290)
+        live = mask & (cd_in[:, 0] < cfg.max_coldensh)
+        fl = live.astype(dtype)
+        denom = ncols * abu
+        contrib = jnp.stack(
+            [fl * phi.photo_cell_HI / denom[:, 0],
+             fl * phi.photo_cell_HeI / denom[:, 1],
+             fl * phi.photo_cell_HeII / denom[:, 2],
+             fl * phi.heat], axis=-1)
+        rg = rg.at[safe].add(contrib)
+
+        # photon loss through the trace boundary
+        # (evolve_point.F90:310-315)
+        ploss = ploss + jnp.sum(
+            jnp.where(live & on_bound, phi.photo_out / vol_ratio, 0.0))
+
+        return (cd_all, rg, ploss), None
+
+    (cd_all, rg, ploss), _ = jax.lax.scan(
+        shell_step, (cd_all, rg, ploss), shells_xs)
+    return rg[:n], ploss
 
 
 def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
@@ -109,152 +223,45 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
     srcpos: (3,) int32 (0-based); nflux: (3,) normalised fluxes
     (BB, PL, QSO) of this source (NormFlux*, sourceprops_test.F90:38-48).
     """
-    mesh = cfg.mesh
-    n = mesh**3
-    dtype = fields.ndens.dtype
-    dr = jnp.asarray(cfg.dr, dtype=dtype)
-    # volumes are handled in units of the cell volume with the cell
-    # volume folded into the flux scale: cm^3 volumes (~1e63) overflow
-    # float32, and only the ratio vol_ph/vol_cell and the combined factor
-    # vol_cell/flux_scale ever enter the rate formulas.
-    vol_over_scale = jnp.asarray(cfg.vol / cfg.flux_scale, dtype=dtype)
+    fstack = _stack_fields(cfg, fields)
+    xs = _shells_xs(shells)
+    rg, ploss = _sweep_one_source_stacked(cfg, xs, fstack, srcpos, nflux)
+    return RateGrids(
+        phih=rates_in.phih + rg[:, 0],
+        phihe0=rates_in.phihe0 + rg[:, 1],
+        phihe1=rates_in.phihe1 + rg[:, 2],
+        phiheat=rates_in.phiheat + rg[:, 3],
+        photon_loss=rates_in.photon_loss + ploss)
 
-    # per-source outgoing-column grids, with one dummy slot for padding
-    # (the reference zeroes mesh^3 arrays per source,
-    # evolve_source.F90:94-95; we allocate-once per trace)
-    cdh = jnp.zeros(n + 1, dtype=dtype)
-    cdhe0 = jnp.zeros(n + 1, dtype=dtype)
-    cdhe1 = jnp.zeros(n + 1, dtype=dtype)
 
-    phih = jnp.concatenate([rates_in.phih, jnp.zeros(1, dtype=dtype)])
-    phihe0 = jnp.concatenate([rates_in.phihe0, jnp.zeros(1, dtype=dtype)])
-    phihe1 = jnp.concatenate([rates_in.phihe1, jnp.zeros(1, dtype=dtype)])
-    phiheat = jnp.concatenate([rates_in.phiheat, jnp.zeros(1, dtype=dtype)])
-    ploss = rates_in.photon_loss
+def _stack_fields(cfg: SweepConfig, fields: SourceFields):
+    """(n, 5) field stack with the reference's epsilon clamps on the
+    fractions (evolve_point.F90:120-132)."""
+    c = lambda x: jnp.maximum(x, cfg.epsilon)
+    return jnp.stack([fields.ndens, c(fields.h_av0), c(fields.h_av1),
+                      c(fields.he_av0), c(fields.he_av1)], axis=-1)
 
-    src_flat = (srcpos[0] * mesh + srcpos[1]) * mesh + srcpos[2]
 
-    # fractions are clamped at epsilon when a cell is loaded
-    # (evolve_point.F90:120-132)
-    def gather(f, idx):
-        return jnp.maximum(f[idx], cfg.epsilon)
-
-    # ---- source cell (evolve_point.F90:140-151): vol_ph = cell volume
-    path0 = 0.5 * dr
-    nd0 = fields.ndens[src_flat]
-    h_av0_s = gather(fields.h_av0, src_flat)
-    he_av0_s = gather(fields.he_av0, src_flat)
-    he_av1_s = gather(fields.he_av1, src_flat)
-    cc0 = (coldens(path0, h_av0_s, nd0, 1.0 - const.abu_he),
-           coldens(path0, he_av0_s, nd0, const.abu_he),
-           coldens(path0, he_av1_s, nd0, const.abu_he))
-    zero = jnp.zeros((), dtype=dtype)
-    phi0 = _cell_rates(cfg, (zero, zero, zero), cc0,
-                       vol_over_scale, nflux,
-                       gather(fields.h_av1, src_flat))
-    cdh = cdh.at[src_flat].set(cc0[0])
-    cdhe0 = cdhe0.at[src_flat].set(cc0[1])
-    cdhe1 = cdhe1.at[src_flat].set(cc0[2])
-    phih = phih.at[src_flat].add(
-        phi0.photo_cell_HI / (h_av0_s * nd0 * (1.0 - const.abu_he)))
-    phihe0 = phihe0.at[src_flat].add(
-        phi0.photo_cell_HeI / (he_av0_s * nd0 * const.abu_he))
-    phihe1 = phihe1.at[src_flat].add(
-        phi0.photo_cell_HeII / (he_av1_s * nd0 * const.abu_he))
-    if not cfg.isothermal:
-        phiheat = phiheat.at[src_flat].add(phi0.heat)
-
-    # ---- wavefront scan over shells
-    xs = (jnp.asarray(shells.offsets), jnp.asarray(shells.mask),
-          jnp.asarray(shells.boundary))
-
-    def shell_step(carry, x):
-        cdh, cdhe0, cdhe1, phih, phihe0, phihe1, phiheat, ploss = carry
-        offs, mask, on_bound = x  # (W,3), (W,), (W,)
-
-        cd_in_h, cd_in_he0, cd_in_he1, path = cinterp_shell(
-            offs, srcpos, mesh, cdh[:n], cdhe0[:n], cdhe1[:n])
-        path = path * dr
-
-        pos = jnp.mod(srcpos[None, :] + offs, mesh)
-        flat = (pos[:, 0] * mesh + pos[:, 1]) * mesh + pos[:, 2]
-        safe = jnp.where(mask, flat, n)
-
-        offf = offs.astype(dtype)
-        dist2_cells = (offf[:, 0] ** 2 + offf[:, 1] ** 2
-                       + offf[:, 2] ** 2)
-        # shell volume in cell-volume units: 4 pi (d/dr)^2 (path/dr)
-        vol_ratio = 4.0 * const.pi * dist2_cells * (path / dr)
-
-        # LLS fog adds to the incoming column (evolve_point.F90:177-180)
-        if cfg.coldensh_LLS > 0.0:
-            cd_in_h = cd_in_h + cfg.coldensh_LLS * path / dr
-
-        nd = gather(fields.ndens, flat)
-        h_av0 = gather(fields.h_av0, flat)
-        h_av1 = gather(fields.h_av1, flat)
-        he_av0 = gather(fields.he_av0, flat)
-        he_av1 = gather(fields.he_av1, flat)
-
-        # outgoing columns = in + time-averaged cell column
-        # (evolve_point.F90:237-244)
-        cd_out_h = cd_in_h + coldens(path, h_av0, nd, 1.0 - const.abu_he)
-        cd_out_he0 = cd_in_he0 + coldens(path, he_av0, nd, const.abu_he)
-        cd_out_he1 = cd_in_he1 + coldens(path, he_av1, nd, const.abu_he)
-
-        cdh = cdh.at[safe].set(cd_out_h)
-        cdhe0 = cdhe0.at[safe].set(cd_out_he0)
-        cdhe1 = cdhe1.at[safe].set(cd_out_he1)
-
-        phi = _cell_rates(cfg, (cd_in_h, cd_in_he0, cd_in_he1),
-                          (cd_out_h, cd_out_he0, cd_out_he1),
-                          vol_ratio * vol_over_scale, nflux, h_av1)
-
-        # shielded cells get zero rates (evolve_point.F90:250,279-290)
-        live = mask & (cd_in_h < cfg.max_coldensh)
-        fl = live.astype(dtype)
-        phih = phih.at[safe].add(
-            fl * phi.photo_cell_HI / (h_av0 * nd * (1.0 - const.abu_he)))
-        phihe0 = phihe0.at[safe].add(
-            fl * phi.photo_cell_HeI / (he_av0 * nd * const.abu_he))
-        phihe1 = phihe1.at[safe].add(
-            fl * phi.photo_cell_HeII / (he_av1 * nd * const.abu_he))
-        if not cfg.isothermal:
-            phiheat = phiheat.at[safe].add(fl * phi.heat)
-
-        # photon loss through the trace boundary (evolve_point.F90:310-315)
-        ploss = ploss + jnp.sum(
-            jnp.where(live & on_bound, phi.photo_out / vol_ratio, 0.0))
-
-        return (cdh, cdhe0, cdhe1, phih, phihe0, phihe1, phiheat,
-                ploss), None
-
-    carry = (cdh, cdhe0, cdhe1, phih, phihe0, phihe1, phiheat, ploss)
-    carry, _ = jax.lax.scan(shell_step, carry, xs)
-    _, _, _, phih, phihe0, phihe1, phiheat, ploss = carry
-
-    return RateGrids(phih=phih[:n], phihe0=phihe0[:n], phihe1=phihe1[:n],
-                     phiheat=phiheat[:n], photon_loss=ploss)
+def _shells_xs(shells: ShellTable):
+    return (jnp.asarray(shells.offsets), jnp.asarray(shells.mask),
+            jnp.asarray(shells.boundary))
 
 
 def sweep_sources_accumulate(cfg: SweepConfig, shells: ShellTable,
                              fields: SourceFields,
                              srcpos_batch, nflux_batch,
-                             batch_size: int = 8) -> RateGrids:
+                             batch_size: Optional[int] = None) -> RateGrids:
     """Trace a batch of sources, accumulating rates.
 
     srcpos_batch: (S, 3) int32; nflux_batch: (S, 3).  Sources with all
     fluxes zero are no-ops (used for padding in sharded runs).
-
     Sources are processed ``batch_size`` at a time with `vmap` inside
-    the shell scan: the wavefront shells of different sources are
-    mutually independent, so batching multiplies the per-scan-step work
-    by the batch size without extra sequential steps.  This is the TPU
-    analog of the reference running sources on different OpenMP
-    threads/MPI ranks (evolve_source.F90:149-194, master_slave.F90) --
-    but batched into one kernel instead of thread-parallel.
+    the shell scan (the wavefront shells of different sources are
+    independent).
     """
     dtype = fields.ndens.dtype
+    if batch_size is None:
+        batch_size = cfg.source_batch
     S = srcpos_batch.shape[0]
     B = min(batch_size, S)
     pad = (-S) % B
@@ -267,29 +274,29 @@ def sweep_sources_accumulate(cfg: SweepConfig, shells: ShellTable,
     srcpos_g = srcpos_batch.reshape(n_groups, B, 3)
     nflux_g = nflux_batch.reshape(n_groups, B, 3)
 
-    rates0 = zero_rate_grids(cfg.mesh, dtype)
+    fstack = _stack_fields(cfg, fields)
+    xs = _shells_xs(shells)
+    n = cfg.mesh**3
+
     # tie the zero-initialised accumulators to the (possibly sharded)
     # source inputs so their device-variance matches the scan body under
     # shard_map (jax "varying manual axes" typing)
     tie = jnp.asarray(nflux_batch, dtype=dtype).ravel()[0] * 0.0
-    rates0 = jax.tree.map(lambda a: a + tie, rates0)
+    rg0 = jnp.zeros((n, 4), dtype=dtype) + tie
+    pl0 = jnp.zeros((), dtype=dtype) + tie
 
-    empty = jax.tree.map(jnp.zeros_like, rates0)
-
-    def group(rates, src):
+    def group(carry, src):
+        rg_acc, pl_acc = carry
         srcpos, nflux = src  # (B, 3), (B, 3)
-        per_source = jax.vmap(
-            lambda sp, nf: sweep_one_source(cfg, shells, fields, sp, nf,
-                                            empty))(srcpos, nflux)
-        # zero out padded (zero-flux) sources, then reduce over the batch
+        rg, pl = jax.vmap(
+            lambda sp, nf: _sweep_one_source_stacked(cfg, xs, fstack,
+                                                     sp, nf))(srcpos, nflux)
         live = jnp.any(nflux > 0.0, axis=1)
+        rg_acc = rg_acc + jnp.sum(
+            jnp.where(live[:, None, None], rg, 0.0), axis=0)
+        pl_acc = pl_acc + jnp.sum(jnp.where(live, pl, 0.0))
+        return (rg_acc, pl_acc), None
 
-        def reduce_leaf(acc, leaf):
-            lv = live.reshape((B,) + (1,) * (leaf.ndim - 1))
-            return acc + jnp.sum(jnp.where(lv, leaf, 0.0), axis=0)
-
-        rates = jax.tree.map(reduce_leaf, rates, per_source)
-        return rates, None
-
-    rates, _ = jax.lax.scan(group, rates0, (srcpos_g, nflux_g))
-    return rates
+    (rg, pl), _ = jax.lax.scan(group, (rg0, pl0), (srcpos_g, nflux_g))
+    return RateGrids(phih=rg[:, 0], phihe0=rg[:, 1], phihe1=rg[:, 2],
+                     phiheat=rg[:, 3], photon_loss=pl)
