@@ -38,6 +38,7 @@ from jax import shard_map
 from ..state import GridState
 from ..sweep.evolve3d import Evolve3DConfig
 from ..sweep.global_pass import global_chemistry_pass
+from ..sweep.octant_sweep import sweep_octant_source_batch
 from ..sweep.source_sweep import (RateGrids, SourceFields,
                                   sweep_sources_accumulate)
 
@@ -72,12 +73,19 @@ def make_parallel_iteration(pcfg: ParallelConfig):
     cfg = pcfg.cfg
     mesh = pcfg.mesh
 
+    use_octant = (getattr(cfg, "engine", "octant") == "octant"
+                  and cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1))
+
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(AXIS), P(AXIS)),
              out_specs=P())
     def sweep_shard(fields: SourceFields, srcpos, nflux) -> RateGrids:
-        rates = sweep_sources_accumulate(cfg.sweep, cfg.shells, fields,
-                                         srcpos, nflux)
+        if use_octant:
+            rates = sweep_octant_source_batch(cfg.sweep, fields,
+                                              srcpos, nflux)
+        else:
+            rates = sweep_sources_accumulate(cfg.sweep, cfg.shells,
+                                             fields, srcpos, nflux)
         # the reference's MPI_ALLREDUCE(SUM) (evolve.F90:505-548)
         return jax.tree.map(lambda x: jax.lax.psum(x, AXIS), rates)
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..state import GridState, begin_timestep, finish_timestep
 from .geometry import ShellTable
 from .global_pass import ChemistryConfig, global_chemistry_pass
+from .octant_sweep import sweep_octant_source_batch
 from .source_sweep import (RateGrids, SourceFields, SweepConfig,
                            sweep_sources_accumulate)
 
@@ -32,6 +33,10 @@ class Evolve3DConfig:
     shells: ShellTable
     convergence_fraction: float = CONVERGENCE_FRACTION
     max_iterations: int = MAX_GLOBAL_ITER
+    # "octant": dense skewed-octant engine (gather-free, fastest on TPU;
+    # requires an even cubic mesh traced to +-M/2);
+    # "shells": sparse L1-shell engine (general extents / max_subbox)
+    engine: str = "octant"
 
 
 class Evolve3DStats(NamedTuple):
@@ -43,6 +48,9 @@ class Evolve3DStats(NamedTuple):
 def make_evolve3d_iteration(cfg: Evolve3DConfig):
     """One jitted {sweep + global pass} iteration."""
 
+    use_octant = (cfg.engine == "octant" and cfg.shells.lo[0] ==
+                  -(cfg.sweep.mesh // 2 - 1))
+
     @jax.jit
     def iteration(state: GridState, srcpos, nflux, dt):
         fields = SourceFields(
@@ -50,8 +58,12 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig):
             h_av0=state.h_av0, h_av1=state.h_av1,
             he_av0=state.he_av0, he_av1=state.he_av1,
         )
-        rates = sweep_sources_accumulate(cfg.sweep, cfg.shells, fields,
-                                         srcpos, nflux)
+        if use_octant:
+            rates = sweep_octant_source_batch(cfg.sweep, fields,
+                                              srcpos, nflux)
+        else:
+            rates = sweep_sources_accumulate(cfg.sweep, cfg.shells,
+                                             fields, srcpos, nflux)
         new_state, conv_flag = global_chemistry_pass(cfg.chem, state,
                                                      rates, dt)
         return new_state, conv_flag, rates.photon_loss
