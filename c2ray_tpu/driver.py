@@ -10,6 +10,7 @@ declarative :class:`Run3DConfig`; the init sequence
 (C2Ray.F90:238-380) becomes `Run3D.run`.
 """
 
+import os
 import time as _time
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
@@ -134,6 +135,49 @@ class Run3D:
                 ndens, 0.0, 0.0, 0.0, c.initial_temperature, dtype=c.dtype)
         else:
             self.state = self.state._replace(ndens=nd)
+
+    # -- restart -----------------------------------------------------------
+    def resume_from_iterdump(self):
+        """Reload the most recent iteration dump (start_from_dump,
+        evolve.F90:279-367)."""
+        from .io.checkpoint import load_iterdump
+        from .sweep.source_sweep import RateGrids
+
+        niter, state_np, rates_np = load_iterdump(
+            self.config.dump_dir, GridState, RateGrids)
+        c = self.config
+        self.state = GridState(*[jnp.asarray(x, dtype=c.dtype)
+                                 if np.asarray(x).dtype.kind == "f"
+                                 else jnp.asarray(x)
+                                 for x in state_np])
+        return niter
+
+    def restart_from_slice(self, z):
+        """Slice restart: read the ionization/temperature output cubes
+        back as initial conditions (xfrac_ini/temper_ini,
+        mat_ini_test.F90:269-465, C2Ray.F90:219-235)."""
+        from .io import read_unformatted_cube
+        from .io.writers import _zred_str
+        from .material import protect_ionization_fractions
+
+        c = self.config
+        base = c.results_dir
+        zs = _zred_str(z)
+        xh1 = read_unformatted_cube(os.path.join(base, f"xfrac3d_{zs}.bin"),
+                                    dtype=np.float64)
+        xhe1 = read_unformatted_cube(
+            os.path.join(base, f"xfrac3dHe1_{zs}.bin"), dtype=np.float64)
+        xhe2 = read_unformatted_cube(
+            os.path.join(base, f"xfrac3dHe2_{zs}.bin"), dtype=np.float64)
+        xh1, xhe1, xhe2 = protect_ionization_fractions(xh1, xhe1, xhe2)
+        temper = c.initial_temperature
+        tpath = os.path.join(base, f"Temper3D_{zs}.bin")
+        if not c.isothermal and os.path.exists(tpath):
+            temper = read_unformatted_cube(tpath, dtype=np.float32)
+        ndens = (self.state.ndens if self.state is not None
+                 else uniform_density_grid(c.mesh, z, c.nbody.cosmology))
+        self.state = initial_grid_state(
+            np.asarray(ndens), xh1, xhe1, xhe2, temper, dtype=c.dtype)
 
     # -- cosmology ---------------------------------------------------------
     def _cosmo_evolve_to(self, t):

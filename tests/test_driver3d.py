@@ -68,3 +68,26 @@ def test_run3d_slice(tmp_path):
 
     # cosmological rescaling advanced the clock past the slice
     assert run.clock.zred < float(nb.zred_array[0])
+
+
+def test_restart_from_slice(tmp_path):
+    """Slice restart reads the output cubes back (mat_ini_test.F90:269-465)."""
+    nb = test_nbody()
+    config = Run3DConfig(
+        mesh=8, nbody=nb,
+        sed=SEDConfig(bb=BlackBodySED(T_eff=5.0e4, S_star=3e55)),
+        isothermal=True, steps_per_slice=1,
+        results_dir=str(tmp_path / "results"), dump_dir=str(tmp_path))
+    run = Run3D(config)
+    run.init_uniform_material()
+    src = SourceList(srcpos=np.array([[4, 4, 4]], dtype=np.int32),
+                     nflux=np.array([[1.0, 0.0, 0.0]]))
+    run.run_slice(0, src)
+    h1_end = np.asarray(run.state.h1).copy()
+
+    # new driver instance restarts from the written cubes
+    run2 = Run3D(config)
+    run2.init_uniform_material(float(nb.zred_array[1]))
+    run2.restart_from_slice(float(nb.zred_array[1]))
+    np.testing.assert_allclose(np.asarray(run2.state.h1), h1_end,
+                               rtol=1e-12, atol=1e-15)
