@@ -91,3 +91,27 @@ def test_restart_from_slice(tmp_path):
     run2.restart_from_slice(float(nb.zred_array[1]))
     np.testing.assert_allclose(np.asarray(run2.state.h1), h1_end,
                                rtol=1e-12, atol=1e-15)
+
+
+def test_config_from_dict(tmp_path):
+    """One JSON blob configures a full 3D run (the stdin-deck analog)."""
+    from c2ray_tpu.config import run3d_config_from_dict
+
+    cfg = run3d_config_from_dict({
+        "mesh": 8,
+        "nbody": {"type": "test"},
+        "sed": {"bb": {"T_eff": 5.0e4, "S_star": 1e55}},
+        "isothermal": True,
+        "steps_per_slice": 1,
+        "clumping": {"type_of_clumping": 1, "clumping_factor": 2.0},
+        "results_dir": str(tmp_path / "r"),
+        "dump_dir": str(tmp_path),
+    })
+    assert cfg.mesh == 8
+    assert cfg.clumping.clumping_factor == 2.0
+    run = Run3D(cfg)
+    run.init_uniform_material()
+    src = SourceList(srcpos=np.array([[4, 4, 4]], dtype=np.int32),
+                     nflux=np.array([[1.0, 0.0, 0.0]]))
+    stats = run.run_slice(0, src, write_output=False)
+    assert stats[0].n_iterations >= 2
