@@ -1,0 +1,116 @@
+"""Unit tests: thermal solver vs scipy ODE, cosmology clock identities."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.integrate import solve_ivp
+
+from c2ray_tpu import constants as const
+from c2ray_tpu.chemistry import IonState, ion_fractions, electrondens
+from c2ray_tpu.cooling import coolin, setup_cooling_tables
+from c2ray_tpu.cosmology import (COSMOLOGIES, CosmoClock, DEFAULT_COSMOLOGY,
+                                 cosmo_evol_scaling)
+from c2ray_tpu.thermal import pressr2temper, temper2pressr, thermal
+
+
+def _ion(h1, he1, he2):
+    f = ion_fractions(jnp.float64(h1), jnp.float64(he1), jnp.float64(he2))
+    return IonState(cur=f, avg=f, old=f)
+
+
+def test_thermal_vs_scipy_ode():
+    """The sub-cycled energy integration must track a reference ODE
+    solution of du/dt = heating - cooling(T(u)) (thermal.f90:98-157)."""
+    tables = setup_cooling_tables()
+    ndens = 1.0e-3
+    ion = _ion(0.999, 0.1, 0.88)
+    ne = float(electrondens(ndens, ion.avg))
+    heating = 5.0e-25
+    T0 = 8000.0
+    dt = 1.0e13
+
+    res = thermal(dt, jnp.float64(T0), jnp.float64(ne), jnp.float64(ndens),
+                  ion, jnp.float64(heating), tables)
+
+    def du_dt(t, u):
+        T = pressr2temper(u[0] * const.gamma1, ndens, ne)
+        cool = float(coolin(tables, ndens, ne, ion.avg.h0, ion.avg.h1,
+                            ion.avg.he0, ion.avg.he1, ion.avg.he2,
+                            jnp.float64(T)))
+        return [heating - cool]
+
+    u0 = temper2pressr(T0, ndens, ne) / const.gamma1
+    sol = solve_ivp(du_dt, [0, dt], [u0], rtol=1e-10, atol=1e-30)
+    T_ref = pressr2temper(sol.y[0, -1] * const.gamma1, ndens, ne)
+    # relative_denergy=0.1 caps per-substep change; expect few-% accuracy
+    np.testing.assert_allclose(float(res.end_temper), T_ref, rtol=0.05)
+    # average temperature lies between initial and final
+    lo, hi = sorted((T0, float(res.end_temper)))
+    assert lo <= float(res.avg_temper) <= hi
+
+
+def test_thermal_cooling_equilibrium():
+    """With heating exactly balancing cooling the temperature is static."""
+    tables = setup_cooling_tables()
+    ndens = 1.0e-3
+    ion = _ion(0.999, 0.1, 0.88)
+    ne = float(electrondens(ndens, ion.avg))
+    T0 = 2.0e4
+    cool0 = float(coolin(tables, ndens, ne, ion.avg.h0, ion.avg.h1,
+                         ion.avg.he0, ion.avg.he1, ion.avg.he2,
+                         jnp.float64(T0)))
+    res = thermal(1.0e14, jnp.float64(T0), jnp.float64(ne),
+                  jnp.float64(ndens), ion, jnp.float64(cool0), tables)
+    np.testing.assert_allclose(float(res.end_temper), T0, rtol=0.02)
+
+
+def test_thermal_minitemp_floor():
+    tables = setup_cooling_tables()
+    ndens = 1.0
+    ion = _ion(0.9, 0.05, 0.05)
+    ne = float(electrondens(ndens, ion.avg))
+    res = thermal(1.0e18, jnp.float64(5000.0), jnp.float64(ne),
+                  jnp.float64(ndens), ion, jnp.float64(0.0), tables)
+    # pure cooling bottoms out at the minitemp floor (thermal.f90:140-146);
+    # the final temperature is recomputed with the end-of-step electron
+    # density (thermal.f90:167), so it can sit marginally below the floor
+    assert float(res.end_temper) >= 0.95
+    assert float(res.end_temper) < 5000.0
+
+
+def test_cosmo_clock_roundtrip():
+    clock = CosmoClock.init(DEFAULT_COSMOLOGY, 9.0)
+    for z in (8.5, 7.0, 6.0):
+        t = clock.zred2time(z)
+        np.testing.assert_allclose(float(clock.time2zred(t)), z, rtol=1e-12)
+    # time zero is the initial redshift
+    np.testing.assert_allclose(float(clock.time2zred(0.0)), 9.0, rtol=1e-12)
+
+
+def test_cosmo_evolution_scalings():
+    clock = CosmoClock.init(DEFAULT_COSMOLOGY, 9.0)
+    clock, zf0, _ = clock.redshift_evol(0.0)
+    # first rescale converts comoving -> proper: zfactor = (1+0)/(1+9)
+    np.testing.assert_allclose(zf0, 0.1, rtol=1e-12)
+    t1 = clock.zred2time(8.0)
+    clock, zf, Hz = clock.redshift_evol(t1)
+    np.testing.assert_allclose(zf, 10.0 / 9.0, rtol=1e-10)
+    lf, vf, df = cosmo_evol_scaling(zf)
+    np.testing.assert_allclose(vf, zf**3, rtol=1e-12)
+    np.testing.assert_allclose(df, zf**-3, rtol=1e-12)
+    assert Hz > 0
+
+
+def test_cosmology_variants_present():
+    # the seven reference parameter sets (cosmoparms*.f90)
+    for name in ("WMAP3plus", "WMAP1", "WMAP3", "WMAP5", "EoRKP", "TEST4"):
+        p = COSMOLOGIES[name]
+        assert 0.2 < p.Omega0 < 0.4
+        assert p.H0 > 0
+
+
+def test_compton_cooling_sign():
+    clock = CosmoClock.init(DEFAULT_COSMOLOGY, 9.0)
+    clock, _, _ = clock.redshift_evol(clock.zred2time(8.0))
+    # hot gas loses energy to the CMB; gas colder than T_CMB gains
+    assert float(clock.compton_cool_rate(1.0e4, 1.0e-3)) > 0
+    assert float(clock.compton_cool_rate(1.0, 1.0e-3)) < 0
