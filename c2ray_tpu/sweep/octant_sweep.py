@@ -49,9 +49,15 @@ def _plane_geometry(R: int, dtype):
 
     Returns iotas (b, c) of shape (R+1, R+1).
     """
-    b = np.broadcast_to(np.arange(R + 1)[:, None], (R + 1, R + 1))
-    c = np.broadcast_to(np.arange(R + 1)[None, :], (R + 1, R + 1))
-    return jnp.asarray(b, dtype=jnp.int32), jnp.asarray(c, dtype=jnp.int32)
+    b = np.ascontiguousarray(
+        np.broadcast_to(np.arange(R + 1, dtype=np.int32)[:, None],
+                        (R + 1, R + 1)))
+    c = np.ascontiguousarray(
+        np.broadcast_to(np.arange(R + 1, dtype=np.int32)[None, :],
+                        (R + 1, R + 1)))
+    # plain numpy: these become embedded constants instead of eager
+    # device computations at trace time
+    return b, c
 
 
 def _shift_bc(p, db: int, dc: int):
@@ -127,7 +133,6 @@ def sweep_octant_source_batch(cfg: SweepConfig, fields: SourceFields,
          jnp.maximum(fields.h_av1, eps), jnp.maximum(fields.he_av0, eps),
          jnp.maximum(fields.he_av1, eps)], axis=-1).reshape(M, M, M, 5)
 
-    signs = jnp.asarray(_octant_signs(), dtype=jnp.int32)   # (8, 3)
     biota, ciota = _plane_geometry(R, dtype)                # (R+1, R+1)
     n_planes = 3 * R + 1
 
@@ -274,33 +279,38 @@ def sweep_octant_source_batch(cfg: SweepConfig, fields: SourceFields,
                                phi0.heat])
 
         # unskew: cube[a, b, c] = rate_planes[a+b+c-1, b, c]
-        aa = jnp.arange(R + 1)[:, None, None]
-        idx = jnp.clip(aa + biota[None] + ciota[None] - 1, 0,
-                       n_planes - 2)                       # (R+1,R+1,R+1)
+        aa = np.arange(R + 1, dtype=np.int32)[:, None, None]
+        idx = np.clip(aa + biota[None] + ciota[None] - 1, 0,
+                      n_planes - 2)                        # (R+1,R+1,R+1)
         cube = rate_planes[idx, biota[None], ciota[None]]
         return cube, src_rates, jnp.sum(plosses)
+
+    # static per-octant metadata (extent / zero-face ownership)
+    vmax_all = np.asarray(
+        [[R if s > 0 else R - 1 for s in sgn] for sgn in _octant_signs()],
+        dtype=np.int32)                                     # (8, 3)
+    owns_all = np.asarray(
+        [[s > 0 for s in sgn] for sgn in _octant_signs()])  # (8, 3)
 
     def one_source(srcpos, nflux):
         # periodic shift to the offset frame (index i = delta mod M)
         f_off = jnp.roll(fstack, shift=(-srcpos[0], -srcpos[1],
                                         -srcpos[2]), axis=(0, 1, 2))
 
-        cubes = []
-        src_rates_acc = None
-        ploss_acc = jnp.zeros((), dtype=dtype) + nflux[0] * 0.0
-        for i, (sx, sy, sz) in enumerate(_octant_signs()):
-            f_oct = _octant_cube_from_offset(f_off, R, sx, sy, sz)
-            vmax = jnp.asarray([R if sx > 0 else R - 1,
-                                R if sy > 0 else R - 1,
-                                R if sz > 0 else R - 1], dtype=jnp.int32)
-            owns = jnp.asarray([sx > 0, sy > 0, sz > 0])
-            cube, src_rates, pl = one_octant(f_oct, vmax, owns, nflux)
-            # octant-frame -> offset-frame flips happen in the stitch
-            cubes.append(cube)
-            ploss_acc = ploss_acc + pl
-            if src_rates_acc is None:
-                src_rates_acc = src_rates
-        rate_off = _stitch_octants_to_offset(cubes, R, M)   # (M,M,M,4)
+        # slice the 8 octant cubes (static slicing), then run ONE
+        # vmapped sweep instance over the stacked octant axis -- the
+        # sweep body is octant-independent, which keeps the XLA graph
+        # 8x smaller than unrolling the octants
+        f_octs = jnp.stack(
+            [_octant_cube_from_offset(f_off, R, sx, sy, sz)
+             for (sx, sy, sz) in _octant_signs()])          # (8, R+1,...)
+        cubes, src_rates_all, pls = jax.vmap(
+            one_octant, in_axes=(0, 0, 0, None))(
+                f_octs, vmax_all, owns_all, nflux)
+        src_rates_acc = src_rates_all[0]
+        ploss_acc = jnp.sum(pls) + nflux[0] * 0.0
+        rate_off = _stitch_octants_to_offset(
+            [cubes[i] for i in range(8)], R, M)             # (M,M,M,4)
         # the [0,0,0] entry of the stitched cube carries a clipped-index
         # artifact from the unskew; overwrite it with the true
         # source-cell rates (deposited exactly once)
