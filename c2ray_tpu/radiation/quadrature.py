@@ -39,8 +39,16 @@ DEFAULT_NODES = 16
 
 
 class SourceQuad(NamedTuple):
-    """Quadrature data for one source type, shapes (nbands, K)."""
+    """Quadrature data for one source type, shapes (nlive, K).
 
+    Only the *live* band range [band_lo, band_hi] of this source type is
+    stored (the reference determines usable ranges per type,
+    radiation_tables.f90:194-256); runtime work scales with live bands
+    only -- e.g. a 5e4 K blackbody keeps ~29 of the 47 sub-bands.
+    """
+
+    band_lo: int             # static python ints (trace-time slicing)
+    band_hi: int
     sigma_hat: jnp.ndarray   # attenuation exponents (nu/nu_min)^-pli
     A_photo: jnp.ndarray     # photon-rate coefficients (scaled)
     A_heat_HI: Optional[jnp.ndarray]
@@ -86,7 +94,7 @@ def _band_quadrature(bands: Bands, sed_fn, band_lo, band_hi, isothermal,
 
     for b in range(nb):
         if b < band_lo or b > band_hi:
-            # zero coefficients; keep sigma_hat at 1 to avoid exp(0*...)
+            # dead band for this source type: dropped by the slice below
             sigma_hat[b] = 1.0
             continue
         lo, hi = bands.freq_min[b], bands.freq_max[b]
@@ -108,8 +116,11 @@ def _band_quadrature(bands: Bands, sed_fn, band_lo, band_hi, isothermal,
                 A_heat[s, b] = A_photo[b] * const.hplanck * (
                     nu - thresholds[s])
 
-    to = lambda a: jnp.asarray(a, dtype=dtype)
+    lo_b, hi_b = int(band_lo), int(min(band_hi, nb - 1))
+    sl = slice(lo_b, hi_b + 1)
+    to = lambda a: jnp.asarray(a[sl], dtype=dtype)
     return SourceQuad(
+        band_lo=lo_b, band_hi=hi_b,
         sigma_hat=to(sigma_hat),
         A_photo=to(A_photo),
         A_heat_HI=None if A_heat is None else to(A_heat[0]),
@@ -191,14 +202,48 @@ def _attenuation(sq: SourceQuad, tau):
     return jnp.exp(-jnp.minimum(expo, 80.0))
 
 
-def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux, tau_in, tau_out,
-                     tau_cell_HI, tau_cell_HeI, tau_cell_HeII,
-                     vol, i_state, scaling_HI, scaling_HeI, scaling_HeII,
-                     do_heating) -> PhotRates:
-    """Photo + heating rates for one source type (quadrature path)."""
+def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux,
+                     cd_in_HI, cd_out_HI, cd_in_HeI, cd_out_HeI,
+                     cd_in_HeII, cd_out_HeII,
+                     vol, i_state, do_heating) -> PhotRates:
+    """Photo + heating rates for one source type (quadrature path).
+
+    Optical depths and species scalings are computed here, directly on
+    this source type's *live* band range (sigma vectors sliced at trace
+    time), so every per-cell array has width nlive <= nbands and the
+    exp/sum work scales with live bands only
+    (radiation_tables.f90:194-256 determines the usable ranges).
+    """
+    sl = slice(sq.band_lo, sq.band_hi + 1)
+    dtype = cd_in_HI.dtype
+    sig_HI = qt.sigma_HI[sl]
+    sig_HeI = qt.sigma_HeI[sl]
+    sig_HeII = qt.sigma_HeII[sl]
+    mask_HeI = qt.mask_HeI[sl]
+    mask_HeII = qt.mask_HeII[sl]
+
+    tau_in = (cd_in_HI[..., None] * sig_HI
+              + cd_in_HeI[..., None] * sig_HeI
+              + cd_in_HeII[..., None] * sig_HeII)
+    tau_out = (cd_out_HI[..., None] * sig_HI
+               + cd_out_HeI[..., None] * sig_HeI
+               + cd_out_HeII[..., None] * sig_HeII)
+
+    # per-species cell optical depths and the tau-weighted split of the
+    # band rate between species (scale_int2/3, radiation_photoionrates.
+    # f90:787-823)
+    tau_cell_HI = sig_HI * (cd_out_HI - cd_in_HI)[..., None]
+    tau_cell_HeI = sig_HeI * (cd_out_HeI - cd_in_HeI)[..., None]
+    tau_cell_HeII = sig_HeII * (cd_out_HeII - cd_in_HeII)[..., None]
+    denom = tau_cell_HI + tau_cell_HeI + tau_cell_HeII
+    inv = 1.0 / jnp.maximum(denom, jnp.finfo(dtype).tiny)
+    scaling_HI = tau_cell_HI * inv
+    scaling_HeI = tau_cell_HeI * inv
+    scaling_HeII = tau_cell_HeII * inv
+
     nfl = nflux[..., None]
     volk = vol[..., None]
-    E_in = _attenuation(sq, tau_in)     # (..., nb, K)
+    E_in = _attenuation(sq, tau_in)     # (..., nlive, K)
     E_out = _attenuation(sq, tau_out)
     dtau = tau_out - tau_in
 
@@ -210,8 +255,8 @@ def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux, tau_in, tau_out,
     phi_out = phi_in - phi_all
 
     photo_cell_HI = (scaling_HI * phi_all / volk).sum(-1)
-    photo_cell_HeI = (qt.mask_HeI * scaling_HeI * phi_all / volk).sum(-1)
-    photo_cell_HeII = (qt.mask_HeII * scaling_HeII * phi_all / volk).sum(-1)
+    photo_cell_HeI = (mask_HeI * scaling_HeI * phi_all / volk).sum(-1)
+    photo_cell_HeII = (mask_HeII * scaling_HeII * phi_all / volk).sum(-1)
 
     z = jnp.zeros_like(photo_cell_HI)
     out = PhotRates(
@@ -229,12 +274,12 @@ def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux, tau_in, tau_out,
         ph_thin = nfl * tau_cell * (A * sq.sigma_hat * E_in).sum(-1) / volk
         return mask * jnp.where(hthick, ph_thick, ph_thin)
 
-    one = jnp.ones_like(qt.mask_HeI)
+    one = jnp.ones_like(mask_HeI)
     ph_HI = species_heat(sq.A_heat_HI, tau_cell_HI, scaling_HI, one)
     ph_HeI = species_heat(sq.A_heat_HeI, tau_cell_HeI, scaling_HeI,
-                          qt.mask_HeI)
+                          mask_HeI)
     ph_HeII = species_heat(sq.A_heat_HeII, tau_cell_HeII, scaling_HeII,
-                           qt.mask_HeII)
+                           mask_HeII)
 
     df_heat = ph_HI + ph_HeI + ph_HeII
     x = i_state[..., None]
@@ -246,10 +291,14 @@ def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux, tau_in, tau_out,
         xeb = 1.0 - x ** _BR2[i]
         return _CR2[i] * x ** _AR2[i] * xeb * xeb
 
-    fra1 = qt.f1ion_HI * ph_HI + qt.f1ion_HeI * ph_HeI + qt.f1ion_HeII * ph_HeII
-    fra2 = qt.f2ion_HI * ph_HI + qt.f2ion_HeI * ph_HeI + qt.f2ion_HeII * ph_HeII
-    fra3 = qt.f1heat_HI * ph_HI + qt.f1heat_HeI * ph_HeI + qt.f1heat_HeII * ph_HeII
-    fra4 = qt.f2heat_HI * ph_HI + qt.f2heat_HeI * ph_HeI + qt.f2heat_HeII * ph_HeII
+    fra1 = (qt.f1ion_HI[sl] * ph_HI + qt.f1ion_HeI[sl] * ph_HeI
+            + qt.f1ion_HeII[sl] * ph_HeII)
+    fra2 = (qt.f2ion_HI[sl] * ph_HI + qt.f2ion_HeI[sl] * ph_HeI
+            + qt.f2ion_HeII[sl] * ph_HeII)
+    fra3 = (qt.f1heat_HI[sl] * ph_HI + qt.f1heat_HeI[sl] * ph_HeI
+            + qt.f1heat_HeII[sl] * ph_HeII)
+    fra4 = (qt.f2heat_HI[sl] * ph_HI + qt.f2heat_HeI[sl] * ph_HeI
+            + qt.f2heat_HeII[sl] * ph_HeII)
 
     f_heat = (df_heat - y1R(2) * fra3 + y2R(2) * fra4).sum(-1)
     f_ion_HI = (y1R(0) * fra1 - y2R(0) * fra2).sum(-1)
@@ -284,27 +333,6 @@ def photoion_rates_quad(
     vol = jnp.broadcast_to(jnp.asarray(vol, dtype=dtype), shape)
     i_state = jnp.broadcast_to(jnp.asarray(i_state, dtype=dtype), shape)
 
-    cc_HI = colum_out_HI - cd_in_HI
-    cc_HeI = colum_out_HeI - colum_in_HeI
-    cc_HeII = colum_out_HeII - colum_in_HeII
-
-    sig_HI, sig_HeI, sig_HeII = qt.sigma_HI, qt.sigma_HeI, qt.sigma_HeII
-    tau_in = (cd_in_HI[..., None] * sig_HI
-              + colum_in_HeI[..., None] * sig_HeI
-              + colum_in_HeII[..., None] * sig_HeII)
-    tau_out = (colum_out_HI[..., None] * sig_HI
-               + colum_out_HeI[..., None] * sig_HeI
-               + colum_out_HeII[..., None] * sig_HeII)
-
-    s_HI = sig_HI * cc_HI[..., None]
-    s_HeI = sig_HeI * cc_HeI[..., None]
-    s_HeII = sig_HeII * cc_HeII[..., None]
-    denom = s_HI + s_HeI + s_HeII
-    inv = 1.0 / jnp.maximum(denom, jnp.finfo(dtype).tiny)
-    scaling_HI = s_HI * inv
-    scaling_HeI = s_HeI * inv
-    scaling_HeII = s_HeII * inv
-
     phi = zero_photrates(shape, dtype)
     for sq, nflux in ((qt.bb, nflux_bb), (qt.pl, nflux_pl),
                       (qt.qso, nflux_qso)):
@@ -312,7 +340,7 @@ def photoion_rates_quad(
             continue
         nflux = jnp.broadcast_to(jnp.asarray(nflux, dtype=dtype), shape)
         phi = phi + _one_source_quad(
-            qt, sq, nflux, tau_in, tau_out,
-            s_HI, s_HeI, s_HeII, vol, i_state,
-            scaling_HI, scaling_HeI, scaling_HeII, do_heating)
+            qt, sq, nflux,
+            cd_in_HI, colum_out_HI, colum_in_HeI, colum_out_HeI,
+            colum_in_HeII, colum_out_HeII, vol, i_state, do_heating)
     return phi
