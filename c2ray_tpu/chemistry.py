@@ -82,14 +82,30 @@ class DoricFactors(NamedTuple):
 
 
 def prepare_doric_factors(NHI, NHeI, NHeII) -> DoricFactors:
-    """Optical-depth ratios at the He thresholds / He+ Ly-a (doric.f90:317-351)."""
-    tau_H_heth = NHI * const.sigma_H_heth
-    tau_He_heth = NHeI * const.sigma_HeI_at_ion_freq
-    tau_H_heLya = NHI * const.sigma_H_heLya
-    tau_He_heLya = NHeI * const.sigma_He_heLya
-    tau_H_he2th = NHI * const.sigma_H_he2
-    tau_He_he2th = NHeI * const.sigma_He_he2
-    tau_He2_he2th = NHeII * const.sigma_HeII_at_ion_freq
+    """Optical-depth ratios at the He thresholds / He+ Ly-a (doric.f90:317-351).
+
+    The outputs are scale-invariant ratios of (column x cross-section)
+    terms, so the columns are normalised by their sum first: the raw
+    products underflow f32 (N ~ 1e-25 from epsilon-floored fractions at
+    unit path times sigma ~ 1e-21 is 1e-46 -> 0, and 0/0 = NaN poisons
+    the whole doric solve downstream).
+    """
+    NHI = jnp.asarray(NHI)
+    tiny = jnp.finfo(jnp.result_type(NHI, jnp.float32)).tiny
+
+    def pairnorm(*cols):
+        inv = 1.0 / jnp.maximum(sum(cols), tiny)
+        return [c * inv for c in cols]
+
+    nh_a, nhe_a = pairnorm(NHI, NHeI)
+    tau_H_heth = nh_a * const.sigma_H_heth
+    tau_He_heth = nhe_a * const.sigma_HeI_at_ion_freq
+    tau_H_heLya = nh_a * const.sigma_H_heLya
+    tau_He_heLya = nhe_a * const.sigma_He_heLya
+    nh_b, nhe_b, nhe2_b = pairnorm(NHI, NHeI, NHeII)
+    tau_H_he2th = nh_b * const.sigma_H_he2
+    tau_He_he2th = nhe_b * const.sigma_He_he2
+    tau_He2_he2th = nhe2_b * const.sigma_HeII_at_ion_freq
 
     denom2 = tau_He2_he2th + tau_He_he2th + tau_H_he2th
     return DoricFactors(
@@ -183,57 +199,100 @@ def doric(
     aihe0 = jnp.maximum(photo_HeI + ne * rates.colli_HeI, tiny)
     aihe1 = jnp.maximum(photo_HeII + ne * rates.colli_HeII, tiny)
 
-    # Matrix elements (doric.f90:124-131)
-    Lmat = -(aih0 + ne * alpha_h_B)
-    Mmat = (yfrac * ne * alpha_he_1 + pfrac * ne * alpha_he_B) * heliumfraction
-    Nmat = (
+    # --- two-sector nondimensionalisation.  The solution depends only
+    # on rate *ratios* and lambda*dt, but the raw magnitudes (cgs rates
+    # ~1e-30..1e+12 /s across a grid: think a shielded He sector next to
+    # a per-neutral-atom H rate divided by x_HI ~ epsilon) make products
+    # like Qmat*aihe1 or Emat*Pmat underflow f32 and NaN the algebra.
+    # A single shared scale is not enough -- the H and He sectors can be
+    # 30+ decades apart and their cross products still underflow -- so
+    # the He-sector rates (E, P, Q, M, N, aihe0/1) are scaled by `sHe`
+    # and the H rate by `sH`, and every downstream expression is built
+    # from (a) products of same-sector scaled O(<=1) values, (b) raw
+    # differences of representable rates, (c) explicit scale *ratios*
+    # (sHe/sH underflowing gracefully to 0 where the coupling is
+    # physically nil).  f64 results are unchanged up to rounding.
+    sH = aih0 + ne * alpha_h_B                     # = -Lmat
+    sHe = aihe0 + aihe1 + ne * (alpha_he_A + alpha_he2_A)
+    a0 = aihe0 / sHe
+    a1 = aihe1 / sHe
+    nes = ne / sHe
+
+    # Matrix elements (doric.f90:124-131); tilde = He-sector scaled
+    Lmat = -sH
+    Mt = (yfrac * nes * alpha_he_1 + pfrac * nes * alpha_he_B) \
+        * heliumfraction
+    Nt = (
         (ffrac * zfrac * (1.0 - v) + v * wfrac) * alpha_he2_B
         + alpha_he2_2
         + (1.0 - y2afrac - y2bfrac) * alpha_he2_1
-    ) * heliumfraction * ne
-    Pmat = -aihe0 - aihe1 - ne * (alpha_he_A - (1.0 - yfrac) * alpha_he_1)
-    Emat = -ne * (alpha_he2_A - y2afrac * alpha_he2_1)
-    Qmat = (
-        -aihe0
-        + ne * alpha_he2_B * (ffrac * (1.0 - zfrac) * (1.0 - v) + v * (1.425 - wfrac))
-        - Emat
-        + alpha_he2_1 * y2bfrac * ne
+    ) * heliumfraction * nes
+    Pt = -a0 - a1 - nes * (alpha_he_A - (1.0 - yfrac) * alpha_he_1)
+    Et = -nes * (alpha_he2_A - y2afrac * alpha_he2_1)
+    Qt = (
+        -a0
+        + nes * alpha_he2_B * (ffrac * (1.0 - zfrac) * (1.0 - v)
+                               + v * (1.425 - wfrac))
+        - Et
+        + alpha_he2_1 * y2bfrac * nes
     )
 
-    Bcoef = Emat - Pmat
-    Scoef = jnp.sqrt(Bcoef * Bcoef + 4.0 * aihe1 * Qmat)
-    QHEPcoef = 1.0 / (Qmat * aihe1 - Emat * Pmat)
-    BminusS = Bcoef - Scoef
-    BplusS = Bcoef + Scoef
+    Bt = Et - Pt
+    four_aQ = 4.0 * a1 * Qt
+    St = jnp.sqrt(Bt * Bt + four_aQ)
+    QHEPt = 1.0 / (Qt * a1 - Et * Pt)
+    # B -+ S with the quadratic-root product identity for the
+    # cancelling branch ((B-S)(B+S) = -4*a1*Qt): the direct difference
+    # loses all significant digits when |4aQ| << B^2, which is the
+    # common regime (He+ ionization rate tiny); the reference computes
+    # it naively in f64 (doric.f90:163-166) at ~1e-5 accuracy,
+    # unacceptable in f32.
+    big = jnp.where(Bt >= 0.0, Bt + St, Bt - St)
+    small = -four_aQ / jnp.where(jnp.abs(big) > tiny, big, tiny)
+    BmSt = jnp.where(Bt >= 0.0, small, big)
+    BpSt = jnp.where(Bt >= 0.0, big, small)
 
-    # Eigenvalues (doric.f90:168-170)
+    # Eigenvalues (doric.f90:168-170); lambda2/3 back in raw units
     lambda1 = Lmat
-    lambda2 = 0.5 * (Emat + Pmat - Scoef)
-    lambda3 = 0.5 * (Emat + Pmat + Scoef)
+    lambda2 = 0.5 * sHe * (Et + Pt - St)
+    lambda3 = 0.5 * sHe * (Et + Pt + St)
 
-    # Particular solution (doric.f90:176-178)
-    rx = -1.0 / Lmat * (aih0 + (Mmat * Emat - Nmat * aihe1) * (aihe0 * QHEPcoef))
-    ry = aihe0 * (Emat * QHEPcoef)
-    rz = -aihe0 * (aihe1 * QHEPcoef)
+    # Particular solution (doric.f90:176-178).  rx's He->H coupling term
+    # carries one explicit sHe/sH ratio; ry/rz are pure He-sector ratios
+    rx = aih0 / sH + (sHe / sH) * ((Mt * Et - Nt * a1) * (a0 * QHEPt))
+    ry = a0 * (Et * QHEPt)
+    rz = -a0 * (a1 * QHEPt)
 
-    twoaihe1 = 2.0 * aihe1
-    eigv2x = -Nmat / (Lmat - lambda2) + (Mmat / twoaihe1) * BplusS / (Lmat - lambda2)
-    eigv3x = (-twoaihe1 * Nmat + Mmat * BminusS) / (twoaihe1 * (Lmat - lambda3))
-    eigv2y = (-BplusS) / twoaihe1
-    eigv3y = (-BminusS) / twoaihe1
-
-    Rcoef = twoaihe1 * (ry - ion.old.he1)
-    Tcoef = rz - ion.old.he2
-
-    coef2 = (Rcoef + BminusS * Tcoef) / (2.0 * Scoef)
-    coef3 = -(Rcoef + BplusS * Tcoef) / (2.0 * Scoef)
-    coef1 = (
-        -rx
-        + (eigv3x - eigv2x) * (Rcoef / (2.0 * Scoef))
-        + Tcoef
-        * (BplusS * eigv3x / (2.0 * Scoef) - BminusS * eigv2x / (2.0 * Scoef))
-        + ion.old.h1
-    )
+    # --- mode coefficients per species.  The reference parameterises the
+    # eigenvectors with 1/(2*aihe1) factors (doric.f90:184-212) and then
+    # multiplies them back into coefficients proportional to aihe1; when
+    # the He+ ionization rate is tiny that huge*tiny product destroys
+    # f32 (and costs digits even in f64).  The aihe1 factors cancel
+    # analytically (via BplusS*BminusS = -4*aihe1*Qmat), so we build the
+    # products (coefK * eigvK_species) directly in cancelled form:
+    #   h1(t)  = coef1 e^{l1 t} + X2 e^{l2 t} + X3 e^{l3 t} + rx
+    #   he1(t) =                  Y2 e^{l2 t} + Y3 e^{l3 t} + ry
+    #   he2(t) =                  Z2 e^{l2 t} + Z3 e^{l3 t} + rz
+    dy = ry - ion.old.he1
+    Tz = rz - ion.old.he2
+    twoS = 2.0 * jnp.maximum(St, tiny)
+    Lm2 = Lmat - lambda2
+    Lm3 = Lmat - lambda3
+    # He->H mode couplings: one explicit scale ratio sHe/(L-lambda)
+    # each (underflows gracefully to 0 when H evolves vastly faster)
+    r2 = sHe / jnp.where(Lm2 == 0.0, -tiny, Lm2)
+    r3 = sHe / jnp.where(Lm3 == 0.0, -tiny, Lm3)
+    u2 = -2.0 * a1 * Nt + Mt * BpSt
+    u3 = -2.0 * a1 * Nt + Mt * BmSt
+    w2 = Nt * BmSt + 2.0 * Qt * Mt
+    w3 = Nt * BpSt + 2.0 * Qt * Mt
+    X2 = (u2 * dy - w2 * Tz) * r2 / twoS
+    X3 = (-u3 * dy + w3 * Tz) * r3 / twoS
+    Y2 = -(BpSt * dy - 2.0 * Qt * Tz) / twoS
+    Y3 = (BmSt * dy - 2.0 * Qt * Tz) / twoS
+    Z2 = (2.0 * a1 * dy + BmSt * Tz) / twoS
+    Z3 = -(2.0 * a1 * dy + BpSt * Tz) / twoS
+    coef1 = ion.old.h1 - rx - X2 - X3
 
     lam1dt = dt * lambda1
     lam2dt = dt * lambda2
@@ -242,9 +301,9 @@ def doric(
     elam2dt = jnp.exp(lam2dt)
     elam3dt = jnp.exp(lam3dt)
 
-    h1 = coef1 * elam1dt + coef2 * elam2dt * eigv2x + coef3 * elam3dt * eigv3x + rx
-    he1 = coef2 * elam2dt * eigv2y + coef3 * elam3dt * eigv3y + ry
-    he2 = coef2 * elam2dt + coef3 * elam3dt + rz
+    h1 = coef1 * elam1dt + X2 * elam2dt + X3 * elam3dt + rx
+    he1 = Y2 * elam2dt + Y3 * elam3dt + ry
+    he2 = Z2 * elam2dt + Z3 * elam3dt + rz
     h0 = 1.0 - h1
     he0 = 1.0 - he1 - he2
 
@@ -253,18 +312,21 @@ def doric(
 
     # Time-averaged fractions; guard (e^x - 1)/x for small |x|
     # (doric.f90:267-283)
-    def avg_factor(coef, lamdt, elamdt):
-        small = jnp.abs(lamdt) < 1.0e-8
-        safe = jnp.where(small, 1.0, lamdt)
-        return jnp.where(small, coef, coef * (elamdt - 1.0) / safe)
+    # (e^{x}-1)/x via expm1: the reference's (elamdt-1.0)/lamdt with a
+    # 1e-8 small-|x| cutoff (doric.f90:267-283) loses all digits for
+    # |x| in [eps, ~1e-3] at working precision; expm1 has no
+    # cancellation at any x, so only exact zero needs a branch
+    def em1_over(lamdt):
+        safe = jnp.where(lamdt == 0.0, 1.0, lamdt)
+        return jnp.where(lamdt == 0.0, 1.0, jnp.expm1(safe) / safe)
 
-    af1 = avg_factor(coef1, lam1dt, elam1dt)
-    af2 = avg_factor(coef2, lam2dt, elam2dt)
-    af3 = avg_factor(coef3, lam3dt, elam3dt)
+    f1 = em1_over(lam1dt)
+    f2 = em1_over(lam2dt)
+    f3 = em1_over(lam3dt)
 
-    h1_av = rx + af1 + eigv2x * af2 + eigv3x * af3
-    he1_av = ry + eigv2y * af2 + eigv3y * af3
-    he2_av = rz + af2 + af3
+    h1_av = rx + coef1 * f1 + X2 * f2 + X3 * f3
+    he1_av = ry + Y2 * f2 + Y3 * f3
+    he2_av = rz + Z2 * f2 + Z3 * f3
     h0_av = 1.0 - h1_av
     he0_av = 1.0 - he1_av - he2_av
 

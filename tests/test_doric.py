@@ -9,6 +9,7 @@ intrinsic accuracy of the reference's eigen-algebra in float64
 the numpy/scipy eigendecomposition.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
@@ -182,3 +183,97 @@ def test_electrondens():
     expected = 2.0 * (0.5 * (1 - const.abu_he) + const.abu_c
                       + const.abu_he * (0.25 + 0.5))
     np.testing.assert_allclose(float(ne), expected, rtol=1e-14)
+
+
+def test_doric_float32_matches_float64():
+    """f32 must not under/overflow: the cgs rate magnitudes are
+    nondimensionalised inside doric (products like Qmat*aihe1 ~ 1e-46
+    underflow f32 to 0 and produced inf/NaN before the rescale)."""
+    rng = np.random.RandomState(3)
+    n = 64
+    ndens = 10.0 ** rng.uniform(-7, 2, n)
+    h1 = 10.0 ** rng.uniform(-10, -0.001, n)
+    he1 = 10.0 ** rng.uniform(-10, -1, n)
+    he2 = 10.0 ** rng.uniform(-12, -2, n)
+    photo = np.where(rng.rand(n) < 0.5, 0.0, 10.0 ** rng.uniform(-20, -8, n))
+    dt = 1.0e14
+
+    def run(dtype):
+        f = IonFractions(*(jnp.asarray(a, dtype)
+                           for a in (1.0 - h1, h1, 1.0 - he1 - he2, he1,
+                                     he2)))
+        ion = IonState(cur=f, avg=f, old=f)
+        nd = jnp.asarray(ndens, dtype)
+        ne = electrondens(nd, f)
+        rates = rate_coefficients(jnp.asarray(np.full(n, 1.0e4), dtype))
+        cch = coldens(1.0, f.h0, nd, 1.0 - const.abu_he)
+        cche0 = coldens(1.0, f.he0, nd, const.abu_he)
+        cche1 = coldens(1.0, f.he1, nd, const.abu_he)
+        fac = prepare_doric_factors(cch, cche0, cche1)
+        ph = jnp.asarray(photo, dtype)
+        out = doric(jnp.asarray(dt, dtype), ne, ion, ph, 0.1 * ph, 0.01 * ph,
+                    fac, rates, 1.0, EPS)
+        return out
+
+    o32 = run(jnp.float32)
+    o64 = run(jnp.float64)
+    for a32, a64 in zip(jax.tree_util.tree_leaves(o32),
+                        jax.tree_util.tree_leaves(o64)):
+        a32 = np.asarray(a32, np.float64)
+        a64 = np.asarray(a64)
+        assert np.all(np.isfinite(a32))
+        # relative agreement where the fraction is significant; below
+        # ~1e-4 the equilibrium/mode cancellations are at the f32 noise
+        # floor and only absolute accuracy is meaningful
+        m = a64 > 1.0e-4
+        assert np.allclose(a32[m], a64[m], rtol=1.0e-2), (
+            np.max(np.abs(a32[m] - a64[m]) / a64[m]))
+        assert np.allclose(a32, a64, rtol=0.2, atol=1.0e-5)
+
+
+def test_prepare_doric_factors_tiny_columns_f32():
+    """Columns from epsilon-floored fractions at unit path underflow the
+    raw tau products in f32 (1e-25 * 1e-21 -> 0, 0/0 = NaN); the
+    ratio-normalised form must stay finite and match f64."""
+    cases32 = []
+    cases64 = []
+    for dtype in (jnp.float32, jnp.float64):
+        NHI = jnp.asarray([1e-25, 1e-25, 1e18, 0.0], dtype)
+        NHeI = jnp.asarray([1e-26, 1e-26, 1e17, 0.0], dtype)
+        NHeII = jnp.asarray([1e-26, 1e-5, 1e16, 0.0], dtype)
+        (cases32 if dtype == jnp.float32 else cases64).append(
+            prepare_doric_factors(NHI, NHeI, NHeII))
+    f32, f64 = cases32[0], cases64[0]
+    for a, b in zip(f32, f64):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b)
+        assert np.all(np.isfinite(a[:3])) and np.all(np.isfinite(b[:3]))
+        assert np.allclose(a[:3], b[:3], rtol=1e-5)
+
+
+def test_global_pass_f32_neutral_start_no_nan():
+    """The bench scenario that NaN'd on TPU: fully neutral f32 grid hit
+    by moderate HI/HeI rates; the cell ionizes to h0 ~ epsilon within
+    one doric call and the second call must survive (underflow-safe
+    doric + factors)."""
+    from c2ray_tpu.state import begin_timestep, initial_grid_state
+    from c2ray_tpu.sweep.global_pass import (ChemistryConfig,
+                                             global_chemistry_pass)
+    from c2ray_tpu.sweep.source_sweep import RateGrids
+
+    n = 8
+    dtype = jnp.float32
+    state = begin_timestep(initial_grid_state(
+        np.full(n, 1.0e-4), 0.0, 0.0, 0.0, 1.0e4, dtype=dtype))
+    rates = RateGrids(
+        phih=jnp.full(n, 1.92e-13, dtype),
+        phihe0=jnp.full(n, 3.94e-13, dtype),
+        phihe1=jnp.zeros(n, dtype), phiheat=jnp.zeros(n, dtype),
+        photon_loss=jnp.zeros((), dtype))
+    cfg = ChemistryConfig(cooling=None, isothermal=True,
+                          isothermal_temperature=1.0e4)
+    ns, cf = global_chemistry_pass(cfg, state, rates,
+                                   jnp.asarray(1e14, dtype))
+    for leaf in (ns.h_av1, ns.he_av1, ns.h_int1, ns.he_int2):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert 0.9 < float(ns.h_av1[0]) < 1.0
