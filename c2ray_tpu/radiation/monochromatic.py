@@ -95,6 +95,7 @@ def build_monochromatic_tables(sed: SEDConfig, energy_ev: float = 13.6, *,
                     for thr in (const.ion_freq_HI, const.ion_freq_HeI,
                                 const.ion_freq_HeII)]
         return SourceQuad(
+            band_lo=0, band_hi=0,
             sigma_hat=arr(np.ones((1, 1))),
             A_photo=arr(np.array([[S_star / flux_scale]])),
             A_heat_HI=None if heat is None else heat[0],

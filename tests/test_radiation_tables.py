@@ -120,3 +120,29 @@ def test_batch_shapes():
                          nflux_bb=jnp.ones(shape))
     assert phi.photo_cell_HI.shape == shape
     assert bool(jnp.all(jnp.isfinite(phi.photo_cell_HI)))
+
+
+def test_monochromatic_tables_attenuation():
+    """Monochromatic mode (radiation_monocromatic.F90): one band, one
+    node; the rate through a column must be S * (e^-tau_in - e^-tau_out)
+    with the Verner cross section at the chosen energy."""
+    import jax.numpy as jnp
+
+    from c2ray_tpu.radiation import BlackBodySED, SEDConfig
+    from c2ray_tpu.radiation.monochromatic import (build_monochromatic_tables,
+                                                   verner_cross_section)
+    from c2ray_tpu.radiation.quadrature import photoion_rates_quad
+
+    S = 5.0e48
+    qt, sed, bands = build_monochromatic_tables(
+        SEDConfig(bb=BlackBodySED(T_eff=1e5, S_star=S)), 13.6)
+    sig = verner_cross_section(13.6, 0)
+    cd_in = jnp.asarray([0.0, 1.0e17, 3.0e18])
+    cd_out = cd_in + 5.0e16
+    z = jnp.zeros(3)
+    phi = photoion_rates_quad(qt, cd_in, cd_out, z, z, z, z,
+                              jnp.ones(3), z, nflux_bb=jnp.full(3, S))
+    expected = S * S * (np.exp(-sig * np.asarray(cd_in))
+                        - np.exp(-sig * np.asarray(cd_out)))
+    np.testing.assert_allclose(np.asarray(phi.photo_cell_HI), expected,
+                               rtol=1e-12)
