@@ -18,6 +18,7 @@ from ..state import GridState, begin_timestep, finish_timestep
 from .geometry import ShellTable
 from .global_pass import ChemistryConfig, global_chemistry_pass
 from .octant_sweep import sweep_octant_source_batch
+from .pyramid_sweep import sweep_pyramid_source_batch
 from .source_sweep import (RateGrids, SourceFields, SweepConfig,
                            sweep_sources_accumulate)
 
@@ -33,10 +34,12 @@ class Evolve3DConfig:
     shells: ShellTable
     convergence_fraction: float = CONVERGENCE_FRACTION
     max_iterations: int = MAX_GLOBAL_ITER
-    # "octant": dense skewed-octant engine (gather-free, fastest on TPU;
-    # requires an even cubic mesh traced to +-M/2);
+    # "pyramid": dominant-axis pyramid engine (each cell evaluated
+    # once; fastest on TPU; requires an even cubic mesh);
+    # "octant": dense skewed-octant engine (gather-free, ~3x redundant
+    # plane evaluations, same mesh requirement);
     # "shells": sparse L1-shell engine (general extents / max_subbox)
-    engine: str = "octant"
+    engine: str = "pyramid"
 
 
 class Evolve3DStats(NamedTuple):
@@ -48,8 +51,12 @@ class Evolve3DStats(NamedTuple):
 def make_evolve3d_iteration(cfg: Evolve3DConfig):
     """One jitted {sweep + global pass} iteration."""
 
-    use_octant = (cfg.engine == "octant" and cfg.shells.lo[0] ==
-                  -(cfg.sweep.mesh // 2 - 1))
+    # pyramid/octant require the full periodic trace extents
+    # (+M/2 / -(M/2-1)); fall back to the shell engine otherwise
+    full_extent = cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1)
+    engine = cfg.engine if full_extent else "shells"
+    dense_sweep = {"pyramid": sweep_pyramid_source_batch,
+                   "octant": sweep_octant_source_batch}.get(engine)
 
     @jax.jit
     def iteration(state: GridState, srcpos, nflux, dt):
@@ -58,9 +65,8 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig):
             h_av0=state.h_av0, h_av1=state.h_av1,
             he_av0=state.he_av0, he_av1=state.he_av1,
         )
-        if use_octant:
-            rates = sweep_octant_source_batch(cfg.sweep, fields,
-                                              srcpos, nflux)
+        if dense_sweep is not None:
+            rates = dense_sweep(cfg.sweep, fields, srcpos, nflux)
         else:
             rates = sweep_sources_accumulate(cfg.sweep, cfg.shells,
                                              fields, srcpos, nflux)
