@@ -27,6 +27,11 @@ CONVERGENCE_FRACTION = 2.5e-4
 MAX_GLOBAL_ITER = 500
 
 
+# evolve_source.F90:133-144: keep growing the subbox while more than
+# this fraction of the sources' photons escapes it
+MIN_FRACTION_OF_PHOTONS = 1.0e-10
+
+
 @dataclass(frozen=True)
 class Evolve3DConfig:
     sweep: SweepConfig
@@ -40,16 +45,59 @@ class Evolve3DConfig:
     # plane evaluations, same mesh requirement);
     # "shells": sparse L1-shell engine (general extents / max_subbox)
     engine: str = "pyramid"
+    # expanding-subbox trace (evolve_source.F90:114-144; pyramid engine
+    # only): start at subbox_start cells, double while the escaping
+    # photon fraction exceeds min_fraction_of_photons, capped at M/2.
+    # The reference grows per source in steps of subboxsize=10
+    # (c2ray_parameters.f90:51-56); here the radius is shared by the
+    # source batch and grows dyadically so each size compiles once.
+    use_subbox: bool = True
+    subbox_start: int = 8
+    min_fraction_of_photons: float = MIN_FRACTION_OF_PHOTONS
 
 
 class Evolve3DStats(NamedTuple):
     n_iterations: int
     conv_flag: int
     photon_loss: float
+    subbox_radius: int = 0
 
 
-def make_evolve3d_iteration(cfg: Evolve3DConfig):
-    """One jitted {sweep + global pass} iteration."""
+def _scaled_source_strength(sweep_cfg: SweepConfig, nflux) -> float:
+    """Total photon rate of the batch in the sweep's scaled flux units
+    (sum over source types of NormFlux * type rate / flux_scale)."""
+    from ..radiation.quadrature import QuadTables
+
+    t = sweep_cfg.tables
+    total = 0.0
+    if isinstance(t, QuadTables):
+        cols = ((t.bb, 0), (t.pl, 1), (t.qso, 2))
+        for sq, j in cols:
+            if sq is None:
+                continue
+            a_sum = float(jnp.sum(sq.A_photo))
+            total += a_sum * float(jnp.sum(nflux[:, j]))
+    else:
+        total = float(jnp.sum(nflux))
+    return total
+
+
+def _subbox_radii(cfg: Evolve3DConfig):
+    R = cfg.sweep.mesh // 2
+    radii = []
+    r = cfg.subbox_start
+    while r < R:
+        radii.append(r)
+        r *= 2
+    radii.append(R)
+    return radii
+
+
+def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None):
+    """One jitted {sweep + global pass} iteration.
+
+    `radius` (static) bounds the pyramid engine's trace; None = full.
+    """
 
     # pyramid/octant require the full periodic trace extents
     # (+M/2 / -(M/2-1)); fall back to the shell engine otherwise
@@ -65,7 +113,11 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig):
             h_av0=state.h_av0, h_av1=state.h_av1,
             he_av0=state.he_av0, he_av1=state.he_av1,
         )
-        if dense_sweep is not None:
+        if engine == "pyramid":
+            rates = sweep_pyramid_source_batch(cfg.sweep, fields,
+                                               srcpos, nflux,
+                                               radius=radius)
+        elif dense_sweep is not None:
             rates = dense_sweep(cfg.sweep, fields, srcpos, nflux)
         else:
             rates = sweep_sources_accumulate(cfg.sweep, cfg.shells,
@@ -83,8 +135,31 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
 
     srcpos: (S, 3) int32; nflux: (S, 3) float.  Returns
     (new state, Evolve3DStats).
+
+    With `cfg.use_subbox` (pyramid engine) each iteration's sweep runs
+    on an adaptive subbox radius: if the photon fraction escaping the
+    current radius exceeds `min_fraction_of_photons`, the radius is
+    doubled and the sweep redone (evolve_source.F90:114-144); the
+    converged radius carries over to the next iteration.
     """
-    if iteration_fn is None:
+    adaptive = (iteration_fn is None and cfg.use_subbox
+                and cfg.engine == "pyramid"
+                and cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1))
+    if adaptive:
+        radii = _subbox_radii(cfg)
+        iter_cache = {}
+
+        def iteration_at(r):
+            if r not in iter_cache:
+                iter_cache[r] = make_evolve3d_iteration(
+                    cfg, radius=None if r == radii[-1] else r)
+            return iter_cache[r]
+
+        total_strength = _scaled_source_strength(cfg.sweep, nflux)
+        loss_wall = cfg.min_fraction_of_photons * max(total_strength,
+                                                      1e-300)
+        r_idx = 0
+    elif iteration_fn is None:
         iteration_fn = make_evolve3d_iteration(cfg)
 
     n = state.mesh3
@@ -95,6 +170,7 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
     conv_flag = n
     niter = 0
     ploss = 0.0
+    radius_used = 0
     while True:
         # convergence test at loop head (evolve.F90:154-182); require at
         # least two iterations so sources can interact
@@ -103,11 +179,24 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
         if niter > cfg.max_iterations:
             break
         niter += 1
-        state, conv_flag_dev, ploss_dev = iteration_fn(state, srcpos,
-                                                       nflux, dt)
+        if adaptive:
+            while True:
+                out = iteration_at(radii[r_idx])(state, srcpos, nflux,
+                                                 dt)
+                if (r_idx + 1 >= len(radii)
+                        or float(out[2]) <= loss_wall):
+                    break
+                r_idx += 1
+            radius_used = radii[r_idx]
+            new_state, conv_flag_dev, ploss_dev = out
+        else:
+            new_state, conv_flag_dev, ploss_dev = iteration_fn(
+                state, srcpos, nflux, dt)
+        state = new_state
         conv_flag = int(conv_flag_dev)
         ploss = float(ploss_dev)
 
     state = finish_timestep(state)
     return state, Evolve3DStats(n_iterations=niter, conv_flag=conv_flag,
-                                photon_loss=ploss)
+                                photon_loss=ploss,
+                                subbox_radius=radius_used)

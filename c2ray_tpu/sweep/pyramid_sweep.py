@@ -114,12 +114,21 @@ def _put_col(p, j, vec, on=None):
 
 
 def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
-                               srcpos_batch, nflux_batch) -> RateGrids:
+                               srcpos_batch, nflux_batch,
+                               radius: int = None) -> RateGrids:
     """Dominant-axis pyramid trace of a source batch; same contract as
-    `sweep_octant_source_batch` (even cubic mesh, trace extents +R /
-    -(R-1), evolve_source.F90:103-109)."""
+    `sweep_octant_source_batch` (even cubic mesh, default trace
+    extents +R / -(R-1), evolve_source.F90:103-109).
+
+    `radius` (static) restricts the trace to a subbox of +-radius
+    cells around each source (the reference's expanding-subbox
+    mechanism, evolve_source.F90:114-144): rates outside are zero
+    and photons crossing the subbox surface count as photon loss.
+    """
     M = cfg.mesh
     R = M // 2
+    Rf = R if radius is None else min(radius, R)
+    Rb = (R - 1) if radius is None else min(radius, R - 1)
     ctr = R - 1
     n = M**3
     dtype = fields.ndens.dtype
@@ -134,7 +143,7 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
          jnp.maximum(fields.h_av1, eps), jnp.maximum(fields.he_av0, eps),
          jnp.maximum(fields.he_av1, eps)], axis=-1).reshape(M, M, M, 5)
 
-    buckets = _layer_buckets(R)
+    buckets = _layer_buckets(Rf)
     win = []
     for lo, hi in buckets:
         start = max(0, ctr - hi)
@@ -161,10 +170,10 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
             d_v = jnp.asarray(np.abs(o_v), dtype=dtype)
             o_u4 = jnp.asarray(o1).reshape(1, B, 1, 1)
             o_v4 = jnp.asarray(o1).reshape(1, 1, B, 1)
-            in_dom = ((o_u >= -(R - 1)) & (o_u <= R)
-                      & (o_v >= -(R - 1)) & (o_v <= R))
-            bnd_uv = ((o_u == R) | (o_u == -(R - 1))
-                      | (o_v == R) | (o_v == -(R - 1)))
+            in_dom = ((o_u >= -Rb) & (o_u <= Rf)
+                      & (o_v >= -Rb) & (o_v <= Rf))
+            bnd_uv = ((o_u == Rf) | (o_u == -Rb)
+                      | (o_v == Rf) | (o_v == -Rb))
             au = np.abs(o_u)
             av = np.abs(o_v)
 
@@ -196,7 +205,7 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                 valid_uv = ((jnp.abs(jnp.asarray(au)) <= lim_u)
                             & (jnp.abs(jnp.asarray(av)) <= lim_v)
                             & in_dom)
-                sign_ok = jnp.stack([ell <= R, ell <= R - 1])
+                sign_ok = jnp.stack([ell <= Rf, ell <= Rb])
                 valid = valid_uv[None] & sign_ok[:, None, None]
 
                 alam = (lf - 0.5) / lf
@@ -250,7 +259,7 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                      fl * phi.heat], axis=-1)
 
                 on_bound = (jnp.asarray(bnd_uv)[None]
-                            | jnp.stack([ell == R, ell == R - 1])[
+                            | jnp.stack([ell == Rf, ell == Rb])[
                                 :, None, None])
                 pls = jnp.sum(jnp.where(live & on_bound,
                                         phi.photo_out / vol_ratio, 0.0))
@@ -265,7 +274,7 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                 jb = ctr_w - el32 + 1
                 rf = ctr_w + el32         # window row of +l
                 rb = ctr_w - el32
-                bwd_ok = (ell <= R - 1)[None, None]
+                bwd_ok = (ell <= Rb)[None, None]
 
                 # --- assemble W_x: plane a=+-(l-1) = Px + y-layer rows
                 # + z-layer columns of layer l-1
@@ -355,13 +364,15 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                        (start, M - start - B), (0, 0)]
                 fwd_parts.append(jnp.pad(r[:, 0], pad))
                 bwd_parts.append(jnp.pad(r[:, 1], pad))
-            fwd = jnp.concatenate(fwd_parts, axis=0)     # layers 1..R
+            fwd = jnp.concatenate(fwd_parts, axis=0)     # layers 1..Rf
             bwd = jnp.concatenate(bwd_parts, axis=0)
-            # axis index = ctr - l (l=1..R; the l=R backward plane is
-            # masked-zero and lands at index -1 -> dropped)
-            neg = jnp.flip(bwd[:R - 1], axis=0)          # idx 0..ctr-1
+            # axis index = ctr - l (l <= Rb; deeper backward planes
+            # are masked-zero); zero padding outside the subbox
+            neg = jnp.flip(bwd[:Rb], axis=0)             # idx ctr-Rb..
             zc = jnp.zeros((1, M, M, 4), dtype=dtype)
-            return jnp.concatenate([neg, zc, fwd], axis=0)
+            zlo = jnp.zeros((R - 1 - Rb, M, M, 4), dtype=dtype)
+            zhi = jnp.zeros((R - Rf, M, M, 4), dtype=dtype)
+            return jnp.concatenate([zlo, neg, zc, fwd, zhi], axis=0)
 
         cube = axis_cube(0)                              # x: (a, b, c)
         cube = cube + jnp.transpose(axis_cube(1), (1, 0, 2, 3))

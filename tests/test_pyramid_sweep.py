@@ -58,3 +58,79 @@ def test_pyramid_matches_octant_m16():
 
 def test_pyramid_matches_octant_m32_lls():
     _check(*_run(32, 1.0e15))
+
+
+def test_subbox_radius_limits_trace_and_counts_loss():
+    """radius=r zeroes rates outside the +-r subbox and books escaping
+    photons as loss (evolve_source.F90:114-144)."""
+    M = 16
+    dtype = jnp.float64
+    tables, sed, bands = build_quadrature_tables(
+        SEDConfig(bb=BlackBodySED(T_eff=5e4, S_star=1e48)),
+        isothermal=True, dtype=dtype)
+    cfg = SweepConfig(tables=tables, mesh=M, dr=10.0 * const.kpc / M,
+                      isothermal=True, flux_scale=bands.flux_scale)
+    n = M**3
+    # transparent medium: photons stream freely
+    fields = SourceFields(
+        ndens=jnp.full(n, 1e-9, dtype), h_av0=jnp.full(n, 1e-3, dtype),
+        h_av1=jnp.full(n, 1.0 - 1e-3, dtype),
+        he_av0=jnp.full(n, 1e-3, dtype), he_av1=jnp.full(n, 1e-3, dtype))
+    srcpos = jnp.asarray([[8, 8, 8]], dtype=jnp.int32)
+    nflux = jnp.asarray([[1.0, 0.0, 0.0]], dtype)
+    full = sweep_pyramid_source_batch(cfg, fields, srcpos, nflux)
+    sub = sweep_pyramid_source_batch(cfg, fields, srcpos, nflux, radius=4)
+
+    ph_full = np.asarray(full.phih).reshape(M, M, M)
+    ph_sub = np.asarray(sub.phih).reshape(M, M, M)
+    # inside the subbox: identical
+    sl = slice(8 - 4, 8 + 5)
+    np.testing.assert_allclose(ph_sub[sl, sl, sl], ph_full[sl, sl, sl],
+                               rtol=1e-12)
+    # outside: zero
+    mask = np.ones((M, M, M), bool)
+    mask[sl, sl, sl] = False
+    assert np.all(ph_sub[mask] == 0.0)
+    # escaping photons booked as loss: in a transparent medium nearly
+    # all photons cross whichever boundary bounds the trace, so the
+    # subbox loss matches the full-box loss up to the surface-geometry
+    # discretisation of the flux estimate (photo_out / vol_ratio)
+    assert float(sub.photon_loss) > 0.0
+    np.testing.assert_allclose(float(sub.photon_loss),
+                               float(full.photon_loss), rtol=0.05)
+
+
+def test_evolve3d_adaptive_subbox_matches_full():
+    """In a transparent medium the adaptive subbox must expand to the
+    full radius and reproduce the full-trace evolve3d exactly."""
+    from c2ray_tpu.state import initial_grid_state
+    from c2ray_tpu.sweep import build_shell_table
+    from c2ray_tpu.sweep.evolve3d import Evolve3DConfig, evolve3d
+    from c2ray_tpu.sweep.global_pass import ChemistryConfig
+
+    M = 16
+    dtype = jnp.float64
+    tables, sed, bands = build_quadrature_tables(
+        SEDConfig(bb=BlackBodySED(T_eff=5e4, S_star=1e51)),
+        isothermal=True, dtype=dtype)
+    sweep_cfg = SweepConfig(tables=tables, mesh=M, dr=3.0 * const.kpc / M,
+                            isothermal=True, flux_scale=bands.flux_scale)
+    chem = ChemistryConfig(cooling=None, isothermal=True,
+                           isothermal_temperature=1e4)
+    shells = build_shell_table(M)
+    srcpos = jnp.asarray([[8, 8, 8]], dtype=jnp.int32)
+    nflux = jnp.asarray([[1.0, 0.0, 0.0]], dtype)
+    dt = jnp.asarray(1e13, dtype)
+
+    def run(use_subbox):
+        cfg = Evolve3DConfig(sweep=sweep_cfg, chem=chem, shells=shells,
+                             use_subbox=use_subbox, subbox_start=4)
+        st = initial_grid_state(np.full((M,)*3, 1e-7), 0.0, 0.0, 0.0,
+                                1e4, dtype=dtype)
+        return evolve3d(cfg, st, srcpos, nflux, dt)
+
+    st_a, stats_a = run(True)
+    st_b, stats_b = run(False)
+    assert stats_a.subbox_radius == M // 2
+    np.testing.assert_allclose(np.asarray(st_a.h1), np.asarray(st_b.h1),
+                               rtol=1e-12)
