@@ -140,3 +140,39 @@ def protect_ionization_fractions(xh1, xhe1, xhe2, epsilon=1.0e-20):
     over = norm > 1.0 - epsilon
     scale = np.where(over, (1.0 - epsilon) / np.maximum(norm, 1e-300), 1.0)
     return xh1, xhe1 * scale, xhe2 * scale
+
+
+# --- compressed single-value ionization storage -----------------------
+# The reference's *_compr module family (mat_ini_cubep3m_compr.F90,
+# mat_ini_pmfast_compr.F90, photonstatistics_compr.f90, output_compr.F90)
+# fights replicated-memory pressure at >=512^3 meshes by storing the
+# H ionization state as ONE float per cell whose sign encodes which of
+# {x_HII, x_HI} is held, so the *small* fraction keeps full precision:
+#   a >= 0 :  a = x_HII   (ionized fraction small)
+#   a <  0 : -a = x_HI    (neutral fraction small)
+# decode: neutral_from_compr = (sign(0.5, a) + 0.5) - a
+# (mat_ini_cubep3m_compr.F90:454-471).  On TPU the memory-pressure
+# rationale is answered by sharding instead, but the codec is kept for
+# interoperability with compressed reference dumps and for halving
+# HBM/host traffic of H-only snapshots.
+
+
+def compress_ionized_fraction(x_hii):
+    """x_HII -> sign-coded single value (mat_ini_cubep3m_compr.F90)."""
+    x = np.asarray(x_hii)
+    return np.where(x < 0.5, x, -(1.0 - x))
+
+
+def ionized_from_compr(a):
+    a = np.asarray(a)
+    return np.where(np.signbit(a), 1.0 + a, a)
+
+
+def neutral_from_compr(a):
+    """(sign(0.5, a) + 0.5) - a  (mat_ini_cubep3m_compr.F90:454-471).
+
+    Fortran's sign() transfers the sign *bit*, so the fully ionized
+    cell's -0.0 decodes to neutral 0 -- np.signbit reproduces that.
+    """
+    a = np.asarray(a)
+    return np.where(np.signbit(a), -a, 1.0 - a)

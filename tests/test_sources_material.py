@@ -112,3 +112,25 @@ def test_lls_model():
     assert m2.n_LLS < m.n_LLS
     assert LLSModel(type_of_LLS=0).coldensh_per_cell() == 0.0
     assert np.isfinite(m.mean_free_path_pMpc(3.0e21))
+
+
+def test_compressed_fraction_codec():
+    """Sign-coded single-value storage keeps the small fraction at full
+    precision on both sides of 0.5 (mat_ini_cubep3m_compr.F90:454-471)."""
+    from c2ray_tpu.material import (compress_ionized_fraction,
+                                    ionized_from_compr,
+                                    neutral_from_compr)
+
+    x = np.array([0.0, 1e-12, 0.3, 0.5, 0.9, 1.0 - 1e-12, 1.0])
+    a = compress_ionized_fraction(x)
+    np.testing.assert_allclose(ionized_from_compr(a), x, rtol=0, atol=0)
+    np.testing.assert_allclose(neutral_from_compr(a), 1.0 - x,
+                               rtol=1e-12, atol=0)
+    # the small side keeps full *relative* precision even in float32
+    # storage: a nearly-ionized cell stores -x_HI directly, so decoding
+    # recovers x_HI to f32 rounding (uncompressed f32 x_HII storage
+    # would return 1 - float32(1 - 1e-12) = 0 here)
+    a32 = np.float32(-1e-12)
+    np.testing.assert_allclose(neutral_from_compr(np.float64(a32)),
+                               1e-12, rtol=1e-6)
+    assert 1.0 - np.float64(np.float32(1.0 - 1e-12)) == 0.0
