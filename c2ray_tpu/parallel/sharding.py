@@ -39,6 +39,7 @@ from ..state import GridState
 from ..sweep.evolve3d import Evolve3DConfig
 from ..sweep.global_pass import global_chemistry_pass
 from ..sweep.octant_sweep import sweep_octant_source_batch
+from ..sweep.pyramid_sweep import sweep_pyramid_source_batch
 from ..sweep.source_sweep import (RateGrids, SourceFields,
                                   sweep_sources_accumulate)
 
@@ -73,16 +74,17 @@ def make_parallel_iteration(pcfg: ParallelConfig):
     cfg = pcfg.cfg
     mesh = pcfg.mesh
 
-    use_octant = (getattr(cfg, "engine", "octant") == "octant"
-                  and cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1))
+    full_extent = cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1)
+    engine = getattr(cfg, "engine", "pyramid") if full_extent else "shells"
+    dense_sweep = {"pyramid": sweep_pyramid_source_batch,
+                   "octant": sweep_octant_source_batch}.get(engine)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(AXIS), P(AXIS)),
              out_specs=P())
     def sweep_shard(fields: SourceFields, srcpos, nflux) -> RateGrids:
-        if use_octant:
-            rates = sweep_octant_source_batch(cfg.sweep, fields,
-                                              srcpos, nflux)
+        if dense_sweep is not None:
+            rates = dense_sweep(cfg.sweep, fields, srcpos, nflux)
         else:
             rates = sweep_sources_accumulate(cfg.sweep, cfg.shells,
                                              fields, srcpos, nflux)
