@@ -134,3 +134,38 @@ def coolin(tables: CoolingTables, nucldens, eldens, xh0, xh1, xhe0, xhe1,
     he_part = (xhe0 * interp(tables.he0) + xhe1 * interp(tables.he1)
                + xhe2 * interp(tables.he2)) * const.abu_he
     return nucldens * eldens * (h_part + he_part)
+
+
+def load_ascii_cooling_table(path):
+    """Read one reference-format ASCII cooling table
+    (cooling_h.f90:83-160): a 3-int header line followed by 801 rows of
+    (log10 T, log10 Lambda).  Returns linear Lambda(T) on the module's
+    801-point log-T grid (values -50 mean 'zero')."""
+    rows = np.loadtxt(path, skiprows=1)
+    if rows.shape[0] != TEMPPOINTS:
+        raise ValueError(
+            f"{path}: expected {TEMPPOINTS} rows, got {rows.shape[0]}")
+    logt = rows[:, 0]
+    if not np.allclose(logt[0], MINTEMP_LOG) or not np.allclose(
+            logt[-1], MAXTEMP_LOG):
+        raise ValueError(f"{path}: unexpected log-T grid "
+                         f"[{logt[0]}, {logt[-1]}]")
+    return 10.0 ** rows[:, 1]
+
+
+def setup_cooling_tables_from_files(table_dir, dtype=jnp.float64,
+                                    filenames=("H0-cool.tab",
+                                               "H1-cool-B.tab",
+                                               "He0-cool_new.tab",
+                                               "He1-cool_new_nocollion.tab",
+                                               "He2-cool.tab")):
+    """Build CoolingTables from the reference's ASCII files (the exact
+    set the current Makefiles link, cooling_h.f90:25-33)."""
+    import os
+
+    vals = [load_ascii_cooling_table(os.path.join(table_dir, f))
+            for f in filenames]
+    arr = lambda a: jnp.asarray(a, dtype=dtype)
+    return CoolingTables(h0=arr(vals[0]), h1=arr(vals[1]),
+                         he0=arr(vals[2]), he1=arr(vals[3]),
+                         he2=arr(vals[4]))

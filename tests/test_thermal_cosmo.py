@@ -114,3 +114,39 @@ def test_compton_cooling_sign():
     # hot gas loses energy to the CMB; gas colder than T_CMB gains
     assert float(clock.compton_cool_rate(1.0e4, 1.0e-3)) > 0
     assert float(clock.compton_cool_rate(1.0, 1.0e-3)) < 0
+
+
+def test_reference_ascii_cooling_tables_roundtrip(tmp_path):
+    """The ASCII loader reads reference-format tables; our regenerated
+    fit-based curves agree with a table written in that format."""
+    import os
+
+    from c2ray_tpu.cooling import (MINTEMP_LOG, DTEMP_LOG, TEMPPOINTS,
+                                   load_ascii_cooling_table,
+                                   setup_cooling_tables,
+                                   setup_cooling_tables_from_files)
+
+    tabs = setup_cooling_tables()
+    logt = MINTEMP_LOG + DTEMP_LOG * np.arange(TEMPPOINTS)
+    names = ("H0-cool.tab", "H1-cool-B.tab", "He0-cool_new.tab",
+             "He1-cool_new_nocollion.tab", "He2-cool.tab")
+    for name, col in zip(names, tabs):
+        vals = np.log10(np.maximum(np.asarray(col), 1e-50))
+        with open(tmp_path / name, "w") as f:
+            f.write("1 1 0\n")
+            for lt, lv in zip(logt, vals):
+                f.write(f"{lt:.6f}  {lv:.6f}\n")
+    loaded = setup_cooling_tables_from_files(str(tmp_path))
+    for a, b in zip(loaded, tabs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5)
+
+    # and, when the reference checkout is present, its own tables load
+    ref_dir = "/root/reference/tables"
+    if os.path.isdir(ref_dir):
+        ref = setup_cooling_tables_from_files(ref_dir)
+        # same T range; physically comparable magnitudes where active
+        a = np.asarray(ref.h0)
+        b = np.asarray(tabs.h0)
+        m = (logt > 4.2) & (logt < 5.0)   # collisional-excitation peak
+        assert np.all(np.abs(np.log10(a[m]) - np.log10(b[m])) < 0.5)
