@@ -89,13 +89,22 @@ class Run3D:
         self.clock = CosmoClock.init(c.nbody.cosmology,
                                      float(c.nbody.zred_array[0]))
         self.zfactor_total = 1.0
+        # cosmology_init's immediate redshift_evol + cosmo_evol at t=0
+        # (cosmology.f90:64-71): lengths go comoving -> proper at z0
+        # once, here; densities are set per slice in proper units
+        # (dens_ini, mat_ini_test.F90:210-265), so the per-step
+        # rescales in _cosmo_evolve_to stay purely incremental.
+        dr_proper = self.grid.dr
+        if c.cosmological:
+            self.clock, zf0, _ = self.clock.redshift_evol(0.0)
+            dr_proper = self.grid.dr * zf0
         self.lls = c.lls.initialised(float(c.nbody.zred_array[0]),
-                                     self.grid.dr, c.nbody.cosmology)
+                                     dr_proper, c.nbody.cosmology)
 
         lls_col = (self.lls.coldensh_per_cell()
                    if np.isscalar(self.lls.coldensh_per_cell()) else 0.0)
         sweep_cfg = SweepConfig(
-            tables=self.tables, mesh=c.mesh, dr=self.grid.dr,
+            tables=self.tables, mesh=c.mesh, dr=dr_proper,
             isothermal=c.isothermal, flux_scale=self.bands.flux_scale,
             coldensh_LLS=float(lls_col),
             has_bb=c.sed.bb is not None, has_pl=c.sed.pl is not None,

@@ -63,6 +63,9 @@ def build_monochromatic_tables(sed: SEDConfig, energy_ev: float = 13.6, *,
     triple so the sweep/1D machinery is reused unchanged.
     """
     freq = energy_ev * const.ev2fr
+    # see build_quadrature_tables: resolve the delivered dtype before
+    # the f64-vs-scaled-flux decision
+    dtype = jnp.empty((), dtype).dtype
     sig = np.array([verner_cross_section(energy_ev, s) for s in range(3)])
 
     # one band spanning just the chosen frequency

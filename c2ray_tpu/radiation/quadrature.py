@@ -145,6 +145,10 @@ def build_quadrature_tables(sed: SEDConfig, bands: Optional[Bands] = None, *,
 
     if bands is None:
         bands = make_bands()
+    # canonicalize to the dtype the backend actually delivers: on TPU
+    # without x64, a requested float64 silently truncates to float32,
+    # and unscaled photon-rate tables (~1e49) would overflow to inf
+    dtype = jnp.empty((), dtype).dtype
     sed = normalize_seds(sed, bands.freq_min[0], bands.freq_max[-1],
                          edges=bands.freq_max[:-1])
     if flux_scale is None:

@@ -195,6 +195,10 @@ def build_radiation_tables(sed: SEDConfig, bands: Optional[Bands] = None, *,
     """
     if bands is None:
         bands = make_bands()
+    # canonicalize to the dtype the backend actually delivers (a
+    # requested float64 truncates to float32 on TPU without x64; the
+    # unscaled tables would overflow f32)
+    dtype = jnp.empty((), dtype).dtype
     sed = normalize_seds(sed, bands.freq_min[0], bands.freq_max[-1],
                          edges=bands.freq_max[:-1])
 

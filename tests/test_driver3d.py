@@ -115,3 +115,38 @@ def test_config_from_dict(tmp_path):
                      nflux=np.array([[1.0, 0.0, 0.0]]))
     stats = run.run_slice(0, src, write_output=False)
     assert stats[0].n_iterations >= 2
+
+
+def test_cosmological_density_stays_proper():
+    """cosmology_init converts comoving->proper ONCE at t=0
+    (cosmology.f90:64-71); the per-step rescale must then be purely
+    incremental. A missing init conversion double-counts (1+z)^3 and
+    inflates the density ~1000x at z~9."""
+    from c2ray_tpu.driver import Run3D, Run3DConfig, set_timesteps
+    from c2ray_tpu.material import mean_baryon_density
+    from c2ray_tpu.nbody import test_nbody
+    from c2ray_tpu.radiation import BlackBodySED, SEDConfig
+
+    nb = test_nbody()
+    cfg = Run3DConfig(mesh=8, nbody=nb,
+                      sed=SEDConfig(bb=BlackBodySED(T_eff=5e4,
+                                                    S_star=1e48)),
+                      isothermal=True)
+    run = Run3D(cfg)
+    run.init_uniform_material()
+    z0 = float(nb.zred_array[0])
+    np.testing.assert_allclose(float(run.state.ndens[0]),
+                               mean_baryon_density(z0, nb.cosmology),
+                               rtol=1e-6)
+    t1, t2, dt = set_timesteps(run.clock, z0, float(nb.zred_array[1]),
+                               cfg.steps_per_slice)
+    run._cosmo_evolve_to(t1 + 0.5 * dt)
+    z_mid = run.clock.zred
+    assert z_mid < z0
+    np.testing.assert_allclose(float(run.state.ndens[0]),
+                               mean_baryon_density(z_mid, nb.cosmology),
+                               rtol=1e-3)
+    # and dr is proper: comoving cell / (1+z)
+    expected_dr = run.grid.dr / (1.0 + z_mid)
+    np.testing.assert_allclose(run.evolve_cfg.sweep.dr, expected_dr,
+                               rtol=1e-3)
