@@ -98,6 +98,7 @@ class Run3D:
         if c.cosmological:
             self.clock, zf0, _ = self.clock.redshift_evol(0.0)
             dr_proper = self.grid.dr * zf0
+        self.dr_proper = dr_proper
         self.lls = c.lls.initialised(float(c.nbody.zred_array[0]),
                                      dr_proper, c.nbody.cosmology)
 
@@ -201,16 +202,11 @@ class Run3D:
         zf3 = zfactor**3
         self.state = self.state._replace(ndens=self.state.ndens / zf3)
         self.lls = self.lls.evolve(zfactor)
-        # dr changes: rebuild sweep config (cheap; tables unchanged)
-        new_dr = self.evolve_cfg.sweep.dr * zfactor
-        sweep_cfg = SweepConfig(**{**self.evolve_cfg.sweep.__dict__,
-                                   "dr": new_dr})
-        self.evolve_cfg = Evolve3DConfig(
-            sweep=sweep_cfg, chem=self.evolve_cfg.chem,
-            shells=self.evolve_cfg.shells,
-            convergence_fraction=self.evolve_cfg.convergence_fraction,
-            max_iterations=self.evolve_cfg.max_iterations)
-        self.iteration_fn = make_evolve3d_iteration(self.evolve_cfg)
+        # dr changes but is a *traced* input of the jitted iteration
+        # (sweep_pyramid_source_batch's dr argument), so no recompile
+        # happens per step -- the reference rescales the same state in
+        # place (cosmo_evol, cosmology.f90:159-202)
+        self.dr_proper *= zfactor
 
     # -- main loop ---------------------------------------------------------
     def run_slice(self, nz: int, sources: SourceList,
@@ -235,11 +231,12 @@ class Run3D:
         for step in range(c.steps_per_slice):
             t_mid = t1 + (step + 0.5) * dt
             self._cosmo_evolve_to(t_mid)
-            before = species_inventory(self.state,
-                                       self.evolve_cfg.sweep.vol)
+            vol_now = float(self.dr_proper) ** 3
+            before = species_inventory(self.state, vol_now)
             self.state, stats = evolve3d(
                 self.evolve_cfg, self.state, srcpos, nflux, dt,
-                iteration_fn=self.iteration_fn)
+                iteration_fn=self.iteration_fn,
+                dr=float(self.dr_proper))
             self.time = t1 + (step + 1) * dt
             stats_list.append(stats)
 
@@ -247,7 +244,7 @@ class Run3D:
             rates = rate_coefficients(
                 jnp.asarray(c.initial_temperature, dtype=c.dtype))
             budget = photon_budget(before, self.state, rates,
-                                   self.evolve_cfg.sweep.vol, dt, total_src)
+                                   vol_now, dt, total_src)
             self.writer.write_photon_counts(
                 budget, stats.photon_loss * self.bands.flux_scale, dt)
 

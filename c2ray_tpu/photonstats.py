@@ -35,14 +35,17 @@ def species_inventory(state: GridState, vol, use_start=True
     else:
         f = (state.h_int0, state.h_int1, state.he_int0, state.he_int1,
              state.he_int2)
-    ab_h = vol * (1.0 - const.abu_he)
-    ab_he = vol * const.abu_he
+    # the volume factor (~1e68 cm^3 per cell at cosmological dr) is
+    # applied host-side in float64: an on-device f32 multiply would
+    # overflow to inf and poison the conservation report
+    ab_h = float(vol) * (1.0 - const.abu_he)
+    ab_he = float(vol) * const.abu_he
     return SpeciesInventory(
-        h0=jnp.sum(nd * f[0]) * ab_h,
-        h1=jnp.sum(nd * f[1]) * ab_h,
-        he0=jnp.sum(nd * f[2]) * ab_he,
-        he1=jnp.sum(nd * f[3]) * ab_he,
-        he2=jnp.sum(nd * f[4]) * ab_he,
+        h0=float(jnp.sum(nd * f[0])) * ab_h,
+        h1=float(jnp.sum(nd * f[1])) * ab_h,
+        he0=float(jnp.sum(nd * f[2])) * ab_he,
+        he1=float(jnp.sum(nd * f[3])) * ab_he,
+        he2=float(jnp.sum(nd * f[4])) * ab_he,
     )
 
 
@@ -67,16 +70,18 @@ def total_rates(state: GridState, rates: RateCoeffs, vol, dt):
     ne = electrondens(nd, avg)
     cl = state.clumping
 
-    totrec = jnp.sum(nd * (avg.h1 * rates.brech0 * (1.0 - const.abu_he)
-                           + avg.he1 * rates.breche0 * const.abu_he * 0.04)
-                     * ne * cl) * vol * dt
-    totcollisions = jnp.sum(
+    voldt = float(vol) * float(dt)      # host-side f64 (f32 overflows)
+    totrec = float(jnp.sum(
+        nd * (avg.h1 * rates.brech0 * (1.0 - const.abu_he)
+              + avg.he1 * rates.breche0 * const.abu_he * 0.04)
+        * ne * cl)) * voldt
+    totcollisions = float(jnp.sum(
         nd * ne * (avg.h0 * rates.colli_HI + avg.he0 * rates.colli_HeI
-                   + avg.he1 * rates.colli_HeII)) * vol * dt
-    recomions = jnp.sum(
+                   + avg.he1 * rates.colli_HeII))) * voldt
+    recomions = float(jnp.sum(
         nd * const.abu_he * cl
         * (avg.he2 * 1.121 * rates.breche1 + avg.he1 * rates.breche0 * 0.96)
-        * const.abu_he * ne) * vol * dt
+        * const.abu_he * ne)) * voldt
     return totrec, totcollisions, recomions
 
 
@@ -95,9 +100,9 @@ def photon_budget(before: SpeciesInventory, state: GridState,
     total_ion = dh0 + dhe0 + dhe2
 
     totrec, totcoll, recomions = total_rates(state, rates, vol, dt)
-    photcons = (total_ion - totcoll - recomions) / jnp.maximum(
-        total_src, 1e-300 if total_ion.dtype == jnp.float64 else 1e-30)
+    photcons = (total_ion - totcoll - recomions) / max(
+        float(total_src), 1e-300)
     return PhotonBudget(
         total_ion=total_ion, totrec=totrec, totcollisions=totcoll,
-        recomions=recomions, total_src=jnp.asarray(total_src),
+        recomions=recomions, total_src=float(total_src),
         photon_conservation=photcons)

@@ -107,16 +107,17 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None):
                    "octant": sweep_octant_source_batch}.get(engine)
 
     @jax.jit
-    def iteration(state: GridState, srcpos, nflux, dt):
+    def iteration(state: GridState, srcpos, nflux, dt, dr=None,
+                  vol_over_scale=None):
         fields = SourceFields(
             ndens=state.ndens,
             h_av0=state.h_av0, h_av1=state.h_av1,
             he_av0=state.he_av0, he_av1=state.he_av1,
         )
         if engine == "pyramid":
-            rates = sweep_pyramid_source_batch(cfg.sweep, fields,
-                                               srcpos, nflux,
-                                               radius=radius)
+            rates = sweep_pyramid_source_batch(
+                cfg.sweep, fields, srcpos, nflux, radius=radius,
+                dr=dr, vol_over_scale=vol_over_scale)
         elif dense_sweep is not None:
             rates = dense_sweep(cfg.sweep, fields, srcpos, nflux)
         else:
@@ -130,11 +131,16 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None):
 
 
 def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
-             iteration_fn=None):
+             iteration_fn=None, dr=None):
     """Full evolve3D (evolve.F90:78-229).
 
     srcpos: (S, 3) int32; nflux: (S, 3) float.  Returns
     (new state, Evolve3DStats).
+
+    `dr` (optional float) overrides the sweep's static cell size as a
+    *traced* input -- the cosmological driver rescales it every step
+    without recompiling (both the scalar and its host-computed
+    dr^3/flux_scale companion are passed through).
 
     With `cfg.use_subbox` (pyramid engine) each iteration's sweep runs
     on an adaptive subbox radius: if the photon fraction escaping the
@@ -179,10 +185,17 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
         if niter > cfg.max_iterations:
             break
         niter += 1
+        if dr is None:
+            kw = {}
+        else:
+            drf = float(dr)
+            kw = {"dr": jnp.asarray(drf),
+                  "vol_over_scale": jnp.asarray(
+                      drf ** 3 / cfg.sweep.flux_scale)}
         if adaptive:
             while True:
                 out = iteration_at(radii[r_idx])(state, srcpos, nflux,
-                                                 dt)
+                                                 dt, **kw)
                 if (r_idx + 1 >= len(radii)
                         or float(out[2]) <= loss_wall):
                     break
@@ -191,7 +204,7 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
             new_state, conv_flag_dev, ploss_dev = out
         else:
             new_state, conv_flag_dev, ploss_dev = iteration_fn(
-                state, srcpos, nflux, dt)
+                state, srcpos, nflux, dt, **kw)
         state = new_state
         conv_flag = int(conv_flag_dev)
         ploss = float(ploss_dev)

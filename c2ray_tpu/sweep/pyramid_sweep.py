@@ -115,7 +115,8 @@ def _put_col(p, j, vec, on=None):
 
 def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                                srcpos_batch, nflux_batch,
-                               radius: int = None) -> RateGrids:
+                               radius: int = None, dr=None,
+                               vol_over_scale=None) -> RateGrids:
     """Dominant-axis pyramid trace of a source batch; same contract as
     `sweep_octant_source_batch` (even cubic mesh, default trace
     extents +R / -(R-1), evolve_source.F90:103-109).
@@ -124,6 +125,11 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
     cells around each source (the reference's expanding-subbox
     mechanism, evolve_source.F90:114-144): rates outside are zero
     and photons crossing the subbox surface count as photon loss.
+
+    `dr` (traced, optional) overrides cfg.dr: the comoving-expansion
+    rescaling changes the proper cell size every timestep
+    (cosmo_evol, cosmology.f90:159-202), and passing it as a runtime
+    value avoids recompiling the sweep each step.
     """
     M = cfg.mesh
     R = M // 2
@@ -132,8 +138,13 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
     ctr = R - 1
     n = M**3
     dtype = fields.ndens.dtype
-    dr = jnp.asarray(cfg.dr, dtype=dtype)
-    vol_over_scale = jnp.asarray(cfg.vol / cfg.flux_scale, dtype=dtype)
+    dr = jnp.asarray(cfg.dr if dr is None else dr, dtype=dtype)
+    # dr^3/flux_scale must be computed on the host in f64 (the raw
+    # cube of a cm-scale proper dr ~1e22 overflows f32); when dr is
+    # traced, the caller passes the matching traced scalar
+    vol_over_scale = jnp.asarray(
+        cfg.vol / cfg.flux_scale if vol_over_scale is None
+        else vol_over_scale, dtype=dtype)
     abu = jnp.asarray(_ABU, dtype=dtype)
     sig = jnp.asarray(_SIGMAS, dtype=dtype)
 

@@ -146,7 +146,8 @@ def test_cosmological_density_stays_proper():
     np.testing.assert_allclose(float(run.state.ndens[0]),
                                mean_baryon_density(z_mid, nb.cosmology),
                                rtol=1e-3)
-    # and dr is proper: comoving cell / (1+z)
+    # and dr is proper: comoving cell / (1+z).  The live value is
+    # run.dr_proper (a traced input of the jitted iteration, so config
+    # rebuild/recompile per step is unnecessary).
     expected_dr = run.grid.dr / (1.0 + z_mid)
-    np.testing.assert_allclose(run.evolve_cfg.sweep.dr, expected_dr,
-                               rtol=1e-3)
+    np.testing.assert_allclose(run.dr_proper, expected_dr, rtol=1e-3)
