@@ -97,10 +97,17 @@ class CosmoClock:
 
     def cosmo_cool_rate(self, e_int):
         """Adiabatic cosmological cooling rate (cosmology.f90:207-234)."""
+        return e_int * self.cosmo_cool_factor()
+
+    def cosmo_cool_factor(self) -> float:
+        """2 (dz/dt)/(1+z), the factor multiplying the internal energy in
+        cosmo_cool (cosmology.f90:207-234); applied per sub-step in
+        thermal (thermal.f90:76-107).  Time dependent, so drivers pass
+        it to the jitted iteration as a traced per-step scalar."""
         p = self.params
-        dzdt = p.H0 * (1.0 + self.zred) * jnp.sqrt(
-            p.Omega0 * (1.0 + self.zred) ** 3 + 1.0 - p.Omega0)
-        return e_int * 2.0 / (1.0 + self.zred) * dzdt
+        dzdt = p.H0 * (1.0 + self.zred) * float(jnp.sqrt(
+            p.Omega0 * (1.0 + self.zred) ** 3 + 1.0 - p.Omega0))
+        return 2.0 / (1.0 + self.zred) * dzdt
 
     def compton_cool_rate(self, temper, eldens):
         """Compton cooling against the CMB (cosmology.f90:239-260)."""

@@ -33,7 +33,6 @@ from .rates import rate_coefficients
 from .sources import SourceList
 from .state import GridState, initial_grid_state
 from .sweep import Evolve3DConfig, SweepConfig, build_shell_table, evolve3d
-from .sweep.evolve3d import make_evolve3d_iteration
 from .sweep.global_pass import ChemistryConfig
 
 
@@ -74,6 +73,8 @@ class Run3D:
     """A configured 3D simulation."""
 
     def __init__(self, config: Run3DConfig):
+        from .state import canonical_dtype
+        config.dtype = canonical_dtype(config.dtype)
         self.config = config
         c = config
         self.grid = CartesianGrid(boxsize_mpc_h=c.nbody.boxsize,
@@ -110,14 +111,20 @@ class Run3D:
             coldensh_LLS=float(lls_col),
             has_bb=c.sed.bb is not None, has_pl=c.sed.pl is not None,
             has_qso=c.sed.qso is not None)
+        # cosmological adiabatic cooling is a *traced* per-step input
+        # (run_slice passes 2(dz/dt)/(1+z) into evolve3d), not a config
+        # constant
         chem_cfg = ChemistryConfig(
             cooling=cooling, isothermal=c.isothermal,
-            isothermal_temperature=c.initial_temperature,
-            cosmo_cool_factor=0.0)
+            isothermal_temperature=c.initial_temperature)
         shells = build_shell_table(c.mesh, c.max_subbox)
         self.evolve_cfg = Evolve3DConfig(sweep=sweep_cfg, chem=chem_cfg,
                                          shells=shells)
-        self.iteration_fn = make_evolve3d_iteration(self.evolve_cfg)
+        # per-radius jitted iterations, cached for the whole run so the
+        # adaptive subbox (evolve_source.F90:114-144) compiles each
+        # size once
+        self._iteration_cache = {}
+        self._subbox_radius: Optional[int] = None
         self.writer = OutputWriter(c.results_dir, c.streams,
                                    isothermal=c.isothermal)
         self.state: Optional[GridState] = None
@@ -233,16 +240,28 @@ class Run3D:
             self._cosmo_evolve_to(t_mid)
             vol_now = float(self.dr_proper) ** 3
             before = species_inventory(self.state, vol_now)
+            ccf = (self.clock.cosmo_cool_factor()
+                   if (c.cosmological and not c.isothermal) else None)
             self.state, stats = evolve3d(
                 self.evolve_cfg, self.state, srcpos, nflux, dt,
-                iteration_fn=self.iteration_fn,
-                dr=float(self.dr_proper))
+                dr=float(self.dr_proper),
+                cosmo_cool_factor=ccf,
+                iteration_cache=self._iteration_cache,
+                initial_radius=self._subbox_radius)
+            if stats.subbox_radius:
+                self._subbox_radius = stats.subbox_radius
             self.time = t1 + (step + 1) * dt
             stats_list.append(stats)
 
             total_src = self._total_source_rate(sources) * dt
-            rates = rate_coefficients(
-                jnp.asarray(c.initial_temperature, dtype=c.dtype))
+            # the budget's recombination/collision rates use the evolved
+            # time-averaged temperature field, not the initial value
+            # (photonstatistics.f90:150-203 re-runs
+            # ini_rec_colion_factors per cell on temperature_grid slot 1)
+            t_for_rates = (jnp.asarray(c.initial_temperature,
+                                       dtype=c.dtype)
+                           if c.isothermal else self.state.t_av)
+            rates = rate_coefficients(t_for_rates)
             budget = photon_budget(before, self.state, rates,
                                    vol_now, dt, total_src)
             self.writer.write_photon_counts(

@@ -14,9 +14,19 @@ t_final (slot 2, start-of-timestep / converged value).
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .chemistry import IonFractions, IonState
+
+
+def canonical_dtype(dtype):
+    """Resolve a requested dtype against the x64 mode *silently*.
+
+    Constructing f64 arrays with x64 disabled floods logs with
+    truncation warnings and hides real silent-truncation bugs; resolve
+    once at state construction instead."""
+    return jax.dtypes.canonicalize_dtype(jnp.dtype(dtype))
 
 
 class GridState(NamedTuple):
@@ -69,6 +79,7 @@ class GridState(NamedTuple):
 def initial_grid_state(ndens, xh1, xhe1, xhe2, temperature, clumping=1.0,
                        dtype=jnp.float64) -> GridState:
     """Build a GridState from physical fields (any shape; flattened)."""
+    dtype = canonical_dtype(dtype)
     f = lambda a: jnp.asarray(a, dtype=dtype).reshape(-1)
     nd = f(ndens)
     n = nd.shape[0]

@@ -108,7 +108,7 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None):
 
     @jax.jit
     def iteration(state: GridState, srcpos, nflux, dt, dr=None,
-                  vol_over_scale=None):
+                  vol_over_scale=None, cosmo_cool_factor=None):
         fields = SourceFields(
             ndens=state.ndens,
             h_av0=state.h_av0, h_av1=state.h_av1,
@@ -123,15 +123,16 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None):
         else:
             rates = sweep_sources_accumulate(cfg.sweep, cfg.shells,
                                              fields, srcpos, nflux)
-        new_state, conv_flag = global_chemistry_pass(cfg.chem, state,
-                                                     rates, dt)
+        new_state, conv_flag = global_chemistry_pass(
+            cfg.chem, state, rates, dt, cosmo_cool_factor)
         return new_state, conv_flag, rates.photon_loss
 
     return iteration
 
 
 def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
-             iteration_fn=None, dr=None):
+             iteration_fn=None, dr=None, cosmo_cool_factor=None,
+             iteration_cache=None, initial_radius=None):
     """Full evolve3D (evolve.F90:78-229).
 
     srcpos: (S, 3) int32; nflux: (S, 3) float.  Returns
@@ -142,31 +143,48 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
     without recompiling (both the scalar and its host-computed
     dr^3/flux_scale companion are passed through).
 
+    `cosmo_cool_factor` (optional float) is the per-step adiabatic
+    cooling factor 2(dz/dt)/(1+z) (cosmology.f90:207-234,
+    thermal.f90:76), also passed traced.
+
     With `cfg.use_subbox` (pyramid engine) each iteration's sweep runs
     on an adaptive subbox radius: if the photon fraction escaping the
     current radius exceeds `min_fraction_of_photons`, the radius is
     doubled and the sweep redone (evolve_source.F90:114-144); the
     converged radius carries over to the next iteration.
+
+    `iteration_cache` (optional dict) holds the jitted per-radius
+    iteration functions across calls -- long-lived drivers pass one so
+    each subbox size compiles once per run, not once per timestep.
+    `initial_radius` seeds the adaptive radius (e.g. the previous
+    step's converged radius).
     """
     adaptive = (iteration_fn is None and cfg.use_subbox
                 and cfg.engine == "pyramid"
                 and cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1))
+    if iteration_cache is None:
+        iteration_cache = {}
     if adaptive:
         radii = _subbox_radii(cfg)
-        iter_cache = {}
 
         def iteration_at(r):
-            if r not in iter_cache:
-                iter_cache[r] = make_evolve3d_iteration(
+            if r not in iteration_cache:
+                iteration_cache[r] = make_evolve3d_iteration(
                     cfg, radius=None if r == radii[-1] else r)
-            return iter_cache[r]
+            return iteration_cache[r]
 
         total_strength = _scaled_source_strength(cfg.sweep, nflux)
         loss_wall = cfg.min_fraction_of_photons * max(total_strength,
                                                       1e-300)
         r_idx = 0
+        if initial_radius is not None:
+            while (r_idx + 1 < len(radii)
+                   and radii[r_idx] < initial_radius):
+                r_idx += 1
     elif iteration_fn is None:
-        iteration_fn = make_evolve3d_iteration(cfg)
+        if "full" not in iteration_cache:
+            iteration_cache["full"] = make_evolve3d_iteration(cfg)
+        iteration_fn = iteration_cache["full"]
 
     n = state.mesh3
     num_src = int(srcpos.shape[0])
@@ -185,13 +203,15 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
         if niter > cfg.max_iterations:
             break
         niter += 1
-        if dr is None:
-            kw = {}
-        else:
+        kw = {}
+        if dr is not None:
             drf = float(dr)
             kw = {"dr": jnp.asarray(drf),
                   "vol_over_scale": jnp.asarray(
                       drf ** 3 / cfg.sweep.flux_scale)}
+        if cosmo_cool_factor is not None:
+            kw["cosmo_cool_factor"] = jnp.asarray(
+                float(cosmo_cool_factor))
         if adaptive:
             while True:
                 out = iteration_at(radii[r_idx])(state, srcpos, nflux,

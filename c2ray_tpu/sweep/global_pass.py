@@ -42,12 +42,20 @@ class ChemistryConfig:
 
 
 def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
-                         phi_HI, phi_HeI, phi_HeII, phi_heat):
+                         phi_HI, phi_HeI, phi_HeII, phi_heat,
+                         cosmo_cool_factor=None):
     """Vectorised do_chemistry with local=.false.
     (evolve_point.F90:444-646).
 
+    ``cosmo_cool_factor`` = 2 (dz/dt)/(1+z), the adiabatic cosmological
+    cooling factor (cosmology.f90:207-234).  It is time dependent, so
+    cosmological drivers pass it as a *traced* per-step scalar (like
+    `dr` in the sweep) instead of baking it into the config.
+
     Returns (IonState, t_inter, t_av, n_iterations).
     """
+    if cosmo_cool_factor is None:
+        cosmo_cool_factor = cfg.cosmo_cool_factor
     ion0 = state.ion_state(cfg.epsilon)
     ndens = state.ndens
     clumping = state.clumping
@@ -113,7 +121,7 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         avg_t_new = avg_t
         if not cfg.isothermal:
             tr = thermal(dt, temper0, de, ndens, ion_new, phi_heat,
-                         cfg.cooling, cfg.cosmo_cool_factor)
+                         cfg.cooling, cosmo_cool_factor)
             temper1_new = tr.end_temper
             avg_t_new = tr.avg_temper
 
@@ -142,7 +150,7 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
 
 
 def global_chemistry_pass(cfg: ChemistryConfig, state: GridState,
-                          rates: RateGrids, dt
+                          rates: RateGrids, dt, cosmo_cool_factor=None
                           ) -> Tuple[GridState, jnp.ndarray]:
     """evolve0D_global over the whole grid (evolve_point.F90:325-440).
 
@@ -150,7 +158,7 @@ def global_chemistry_pass(cfg: ChemistryConfig, state: GridState,
     """
     ion, t_inter, t_av, _ = _do_chemistry_global(
         cfg, dt, state, rates.phih, rates.phihe0, rates.phihe1,
-        rates.phiheat)
+        rates.phiheat, cosmo_cool_factor)
 
     # global convergence counting (evolve_point.F90:399-424)
     def big_change(new, old):

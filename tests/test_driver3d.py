@@ -8,14 +8,14 @@ from c2ray_tpu import constants as const
 from c2ray_tpu.driver import Run3D, Run3DConfig, set_timesteps
 from c2ray_tpu.cosmology import CosmoClock
 from c2ray_tpu.io import read_unformatted_cube
-from c2ray_tpu.nbody import test_nbody
+from c2ray_tpu.nbody import test_nbody as make_test_nbody
 from c2ray_tpu.io.writers import OutputStreams
 from c2ray_tpu.radiation.sed import BlackBodySED, SEDConfig
 from c2ray_tpu.sources import SourceList
 
 
 def test_set_timesteps():
-    nb = test_nbody()
+    nb = make_test_nbody()
     clock = CosmoClock.init(nb.cosmology, float(nb.zred_array[0]))
     t1, t2, dt = set_timesteps(clock, float(nb.zred_array[0]),
                                float(nb.zred_array[1]), 4)
@@ -25,7 +25,7 @@ def test_set_timesteps():
 
 
 def test_run3d_slice(tmp_path):
-    nb = test_nbody()
+    nb = make_test_nbody()
     config = Run3DConfig(
         mesh=16, nbody=nb,
         sed=SEDConfig(bb=BlackBodySED(T_eff=5.0e4, S_star=3e56)),
@@ -72,7 +72,7 @@ def test_run3d_slice(tmp_path):
 
 def test_restart_from_slice(tmp_path):
     """Slice restart reads the output cubes back (mat_ini_test.F90:269-465)."""
-    nb = test_nbody()
+    nb = make_test_nbody()
     config = Run3DConfig(
         mesh=8, nbody=nb,
         sed=SEDConfig(bb=BlackBodySED(T_eff=5.0e4, S_star=3e55)),
@@ -124,10 +124,10 @@ def test_cosmological_density_stays_proper():
     inflates the density ~1000x at z~9."""
     from c2ray_tpu.driver import Run3D, Run3DConfig, set_timesteps
     from c2ray_tpu.material import mean_baryon_density
-    from c2ray_tpu.nbody import test_nbody
+    from c2ray_tpu.nbody import test_nbody as make_test_nbody
     from c2ray_tpu.radiation import BlackBodySED, SEDConfig
 
-    nb = test_nbody()
+    nb = make_test_nbody()
     cfg = Run3DConfig(mesh=8, nbody=nb,
                       sed=SEDConfig(bb=BlackBodySED(T_eff=5e4,
                                                     S_star=1e48)),

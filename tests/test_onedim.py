@@ -35,6 +35,27 @@ def test1_stromgren_front():
     assert abs(nf - af) / af < 0.05
 
 
+def test2_one_over_r_front():
+    """1/r density profile vs the LambertW front solution
+    (output.f90:344-347, mat_ini.F90:142-143).
+
+    The front saturates at L/K = S / (4 pi n_c^2 r_c^2 alphaB); the
+    parameters put that at ~5 kpc so the approach phase is resolved.
+    """
+    r_core = 1.0 * kpc
+    n_core = 1.0e-3
+    S_star = 4.8e47
+    problem = OneDProblem(testnum=2, dens_val=n_core, r_core=r_core,
+                          temper_val=1e4, isothermal=True)
+    grid = RadialGrid(r_in=0.0, r_out=8.0 * kpc, mesh=128)
+    sed = SEDConfig(bb=BlackBodySED(T_eff=1.0e5, S_star=S_star))
+    t_total = 300e6 * const.YEAR
+    run = _run(problem, grid, sed, t_total, 15)
+    nf = numerical_front(grid.x, grid.dr, np.asarray(run.state.xh[:, 1]))
+    af = analytic_front(problem, run.sed.bb.S_star, run.time)
+    assert abs(nf - af) / af < 0.1
+
+
 def test3_core_profile_front():
     """1/r^2 density with flat core; L ~ 0 parameter choice so the
     analytic r_core sqrt(1+2t/t_rec) branch applies

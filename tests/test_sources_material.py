@@ -5,7 +5,7 @@ import pytest
 
 from c2ray_tpu import constants as const
 from c2ray_tpu.material import ClumpingModel, LLSModel
-from c2ray_tpu.nbody import test_nbody, test4_nbody
+from c2ray_tpu.nbody import test_nbody as make_test_nbody, test4_nbody as make_test4_nbody
 from c2ray_tpu.radiation.sed import BlackBodySED, SEDConfig, normalize_seds
 from c2ray_tpu.sources import (HaloCatalog, HaloSourceModel, SourceList,
                                apply_suppression_and_luminosities,
@@ -37,7 +37,7 @@ def test_suppression_iliev_model():
         mass_hmach=np.array([0.0, 0.0, 5.0]),
         mass_lmach=np.array([3.0, 3.0, 0.0]),
     )
-    nb = test_nbody()
+    nb = make_test_nbody()
     model = HaloSourceModel(M_grid=nb.M_grid)
     dt = model.lifetime
     src, stats = apply_suppression_and_luminosities(cat, xh1, model, sed, dt)
@@ -61,7 +61,7 @@ def test_fixed_ngamma_model_budget():
     cat = HaloCatalog(pos=np.array([[1, 1, 1], [2, 2, 2]]),
                       mass_hmach=np.array([1.0, 3.0]),
                       mass_lmach=np.zeros(2))
-    nb = test_nbody()
+    nb = make_test_nbody()
     model = HaloSourceModel(M_grid=nb.M_grid, uv_model="Fixed N_gamma",
                             uv_array=np.array([4e60]))
     src, _ = apply_suppression_and_luminosities(

@@ -150,3 +150,43 @@ def test_reference_ascii_cooling_tables_roundtrip(tmp_path):
         b = np.asarray(tabs.h0)
         m = (logt > 4.2) & (logt < 5.0)   # collisional-excitation peak
         assert np.all(np.abs(np.log10(a[m]) - np.log10(b[m])) < 0.5)
+
+
+def test_run3d_adiabatic_cosmological_cooling(tmp_path):
+    """A zero-flux non-isothermal cosmological run must cool
+    adiabatically: per step the reference applies a fixed cooling rate
+    factor*u0 with factor = 2(dz/dt)/(1+z) evaluated at the step's
+    redshift (thermal.f90:76-107, cosmology.f90:207-234), so
+    T_{k+1} = T_k (1 - factor_k dt) exactly."""
+    from c2ray_tpu.driver import Run3D, Run3DConfig, set_timesteps
+    from c2ray_tpu.nbody import test_nbody as make_test_nbody
+    from c2ray_tpu.radiation import BlackBodySED, SEDConfig
+    from c2ray_tpu.sources import SourceList
+
+    nb = make_test_nbody()
+    cfg = Run3DConfig(mesh=8, nbody=nb,
+                      sed=SEDConfig(bb=BlackBodySED(T_eff=5e4,
+                                                    S_star=1e48)),
+                      isothermal=False, initial_temperature=1.0e4,
+                      steps_per_slice=2, cosmological=True,
+                      results_dir=str(tmp_path), dump_dir=str(tmp_path))
+    run = Run3D(cfg)
+    run.init_uniform_material()
+    # one zero-flux source: the sweep treats it as a no-op, so the grid
+    # sees no photons and only cosmological cooling acts
+    src = SourceList(srcpos=np.array([[4, 4, 4]], dtype=np.int32),
+                     nflux=np.array([[0.0, 0.0, 0.0]]))
+    run.run_slice(0, src, write_output=False)
+
+    # replay the clock to predict T(z)
+    z0 = float(nb.zred_array[0])
+    clock = CosmoClock.init(nb.cosmology, z0)
+    clock, _, _ = clock.redshift_evol(0.0)
+    t1, t2, dt = set_timesteps(clock, z0, float(nb.zred_array[1]), 2)
+    T = 1.0e4
+    for step in range(2):
+        clock, _, _ = clock.redshift_evol(t1 + (step + 0.5) * dt)
+        T *= 1.0 - clock.cosmo_cool_factor() * dt
+    t_grid = np.asarray(run.state.t_final)
+    assert T < 0.995e4  # the factor actually cooled something
+    np.testing.assert_allclose(t_grid, T, rtol=2e-3)
