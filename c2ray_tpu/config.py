@@ -64,13 +64,27 @@ def run3d_config_from_dict(d: dict) -> Run3DConfig:
     clumping = ClumpingModel(**d.pop("clumping", {}))
     lls = LLSModel(**d.pop("lls", {}))
     streams = OutputStreams(**d.pop("streams", {}))
+    halo_model = None
+    if "halo_model" in d:
+        from .sources import HaloSourceModel
+
+        hm = dict(d.pop("halo_model"))
+        # the halo mass unit defaults to the nbody backend's grid mass
+        # (M_grid, cubep3m.F90:119-132)
+        if hm.get("M_grid", "auto") == "auto":
+            hm["M_grid"] = nbody.M_grid
+        if "phot_per_atom" in hm:
+            hm["phot_per_atom"] = tuple(hm["phot_per_atom"])
+        hm.setdefault("Omega_B", cosmo.Omega_B)
+        hm.setdefault("Omega0", cosmo.Omega0)
+        halo_model = HaloSourceModel(**hm)
 
     valid = {f.name for f in dc_fields(Run3DConfig)}
     extra = set(d) - valid
     if extra:
         raise ValueError(f"unknown Run3DConfig keys: {sorted(extra)}")
     return Run3DConfig(nbody=nbody, sed=sed, clumping=clumping, lls=lls,
-                       streams=streams, **d)
+                       streams=streams, halo_model=halo_model, **d)
 
 
 def run3d_config_from_json(path: str) -> Run3DConfig:

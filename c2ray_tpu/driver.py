@@ -26,7 +26,8 @@ from .io.checkpoint import save_iterdump
 from .io.writers import OutputStreams, OutputWriter
 from .material import ClumpingModel, LLSModel, uniform_density_grid
 from .nbody import NBodyInterface
-from .photonstats import photon_budget, species_inventory
+from .photonstats import (photcons_violation, photon_budget,
+                          species_inventory)
 from .radiation.quadrature import build_quadrature_tables
 from .radiation.sed import SEDConfig
 from .rates import rate_coefficients
@@ -67,6 +68,35 @@ class Run3DConfig:
     max_subbox: Optional[int] = None  # c2ray_parameters.f90:52-56
     # iteration-dump cadence in wall-clock seconds (evolve.F90:205-208)
     dump_interval_s: float = 15 * 60.0
+    # abort the run on a photon-conservation violation
+    # (c2ray_parameters.f90:81, C2Ray.F90:351-372); the tolerance is
+    # the reference's (commented) 15% criterion (output.F90:522-533)
+    stop_on_photon_violation: bool = False
+    photcons_tolerance: float = 0.15
+    # --- per-slice input plumbing for Run3D.run() (C2Ray.F90:238-380)
+    # "uniform": synthetic dens_ini; "files": read <z>n_all.dat per
+    # slice (dens_ini, mat_ini_cubep3m.F90:223-351)
+    density_input: str = "uniform"
+    density_unit: str = "grid"        # grid | particle | M0Mpc3
+    # "model": the ClumpingModel/LLSModel above; "files": read
+    # per-slice grids (mat_ini_cubep3m.F90:460-520, 667-763)
+    clumping_input: str = "model"
+    lls_input: str = "model"
+    # "static": the SourceList passed to run(); "catalog": read halo
+    # catalogs per slice and apply suppression against the current
+    # ionization state (source_properties, sourceprops_cubep3m.F90:
+    # 251-413); "file": re-read a test_sources.dat each slice
+    source_input: str = "static"
+    halo_model: Optional[object] = None   # sources.HaloSourceModel
+    source_file: Optional[str] = None
+    # randomize source order per slice (ctrper, sourceprops_test.F90:
+    # 205-210) -- order only matters for float reduction noise here
+    randomize_sources: bool = False
+
+
+class PhotonConservationError(RuntimeError):
+    """Raised by Run3D when photon conservation is violated and
+    stop_on_photon_violation is set (C2Ray.F90:351-372)."""
 
 
 class Run3D:
@@ -103,12 +133,25 @@ class Run3D:
         self.lls = c.lls.initialised(float(c.nbody.zred_array[0]),
                                      dr_proper, c.nbody.cosmology)
 
-        lls_col = (self.lls.coldensh_per_cell()
-                   if np.isscalar(self.lls.coldensh_per_cell()) else 0.0)
+        # position-dependent LLS (type 2) rides the sweep's per-cell
+        # LLS channel; a type-1 scalar in a cosmological run also goes
+        # through the traced grid path because it evolves with z
+        # (cosmo_evol, cosmology.f90:199-201) -- only a static scalar
+        # is baked into the config
+        lls_col = self.lls.coldensh_per_cell()
+        self.lls_grid = None
+        lls_static = 0.0
+        if not np.isscalar(lls_col):
+            self.lls_grid = jnp.asarray(
+                np.asarray(lls_col).reshape(-1), dtype=c.dtype)
+        elif float(lls_col) > 0.0 and c.cosmological:
+            pass   # traced per step in run_slice
+        else:
+            lls_static = float(lls_col)
         sweep_cfg = SweepConfig(
             tables=self.tables, mesh=c.mesh, dr=dr_proper,
             isothermal=c.isothermal, flux_scale=self.bands.flux_scale,
-            coldensh_LLS=float(lls_col),
+            coldensh_LLS=lls_static,
             has_bb=c.sed.bb is not None, has_pl=c.sed.pl is not None,
             has_qso=c.sed.qso is not None)
         # cosmological adiabatic cooling is a *traced* per-step input
@@ -130,6 +173,9 @@ class Run3D:
         self.state: Optional[GridState] = None
         self.time = 0.0
         self._last_dump = _time.time()
+        self.photcons_flag = 0
+        self.last_budget = None
+        self.last_suppression = None
 
     # -- material ----------------------------------------------------------
     def init_uniform_material(self, z=None):
@@ -140,8 +186,17 @@ class Run3D:
         ndens = uniform_density_grid(c.mesh, z, c.nbody.cosmology)
         self.state = initial_grid_state(
             ndens, 0.0, 0.0, 0.0, c.initial_temperature,
-            clumping=float(np.mean(c.clumping.at_redshift(z))),
-            dtype=c.dtype)
+            clumping=c.clumping.at_redshift(z), dtype=c.dtype)
+
+    def set_clumping(self, z):
+        """set_clumping per slice (C2Ray.F90:270,
+        mat_ini_test.F90:520-553): the redshift-fit models change with
+        z; a type-5 grid is used per cell (chemistry broadcasts)."""
+        c = self.config
+        cl = c.clumping.at_redshift(z)
+        cl = jnp.asarray(np.asarray(cl, dtype=np.float64).reshape(-1)
+                         if np.ndim(cl) else cl, dtype=c.dtype)
+        self.state = self.state._replace(clumping=cl)
 
     def set_density(self, ndens):
         """dens_ini from an external (reader-supplied) cube."""
@@ -218,8 +273,11 @@ class Run3D:
     # -- main loop ---------------------------------------------------------
     def run_slice(self, nz: int, sources: SourceList,
                   ndens: Optional[np.ndarray] = None,
-                  write_output=True):
-        """Advance through redshift slice nz (C2Ray.F90:238-380)."""
+                  write_output=True, start_from_dump=False):
+        """Advance through redshift slice nz (C2Ray.F90:238-380).
+
+        `start_from_dump` resumes the FIRST step mid-timestep from the
+        newest iterdump (evolve.F90:279-367; C2Ray.F90:191-216)."""
         c = self.config
         zs = c.nbody.zred_array
         z1, z2 = float(zs[nz]), float(zs[nz + 1])
@@ -229,11 +287,11 @@ class Run3D:
             self.set_density(ndens)
         elif self.state is None:
             self.init_uniform_material(z1)
+        self.set_clumping(z1)
 
         srcpos = jnp.asarray(sources.srcpos, dtype=jnp.int32)
         nflux = jnp.asarray(sources.nflux, dtype=c.dtype)
 
-        vol0 = self.grid.vol
         stats_list = []
         for step in range(c.steps_per_slice):
             t_mid = t1 + (step + 0.5) * dt
@@ -247,7 +305,13 @@ class Run3D:
                 dr=float(self.dr_proper),
                 cosmo_cool_factor=ccf,
                 iteration_cache=self._iteration_cache,
-                initial_radius=self._subbox_radius)
+                initial_radius=self._subbox_radius,
+                lls_grid=self._current_lls_grid(),
+                # mid-iteration checkpoints on the reference's 15-min
+                # wall clock (evolve.F90:199-212)
+                dump_dir=c.dump_dir,
+                dump_interval_s=c.dump_interval_s,
+                start_from_dump=(start_from_dump and step == 0))
             if stats.subbox_radius:
                 self._subbox_radius = stats.subbox_radius
             self.time = t1 + (step + 1) * dt
@@ -262,20 +326,133 @@ class Run3D:
                                        dtype=c.dtype)
                            if c.isothermal else self.state.t_av)
             rates = rate_coefficients(t_for_rates)
-            budget = photon_budget(before, self.state, rates,
-                                   vol_now, dt, total_src)
-            self.writer.write_photon_counts(
-                budget, stats.photon_loss * self.bands.flux_scale, dt)
+            fs = self.bands.flux_scale
+            budget = photon_budget(
+                before, self.state, rates, vol_now, dt, total_src,
+                photon_loss=stats.photon_loss * fs,
+                lls_loss=stats.lls_loss * fs)
+            self.last_budget = budget
+            self.writer.write_photon_counts(budget)
 
-            if _time.time() - self._last_dump > c.dump_interval_s:
-                from .sweep.source_sweep import zero_rate_grids
-                save_iterdump(c.dump_dir, stats.n_iterations, self.state,
-                              zero_rate_grids(c.mesh, c.dtype))
-                self._last_dump = _time.time()
+            # photcons_flag + stop_on_photon_violation
+            # (C2Ray.F90:351-372, output.F90:522-533)
+            self.photcons_flag = photcons_violation(
+                budget, c.photcons_tolerance)
+            if self.photcons_flag and c.stop_on_photon_violation:
+                raise PhotonConservationError(
+                    f"photon conservation violated at z-slice {nz} "
+                    f"step {step}: photcons="
+                    f"{float(budget.photon_conservation):.4f}, "
+                    f"loss fraction="
+                    f"{(budget.total_photon_loss + budget.total_lls_loss) / max(budget.total_src, 1e-300):.4f}")
 
         if write_output:
             self.write_output(z2, sources)
         return stats_list
+
+    # -- full redshift loop -------------------------------------------------
+    def slice_sources(self, nz: int, dt) -> SourceList:
+        """source_properties for slice nz (C2Ray.F90:260): build the
+        slice's source list from the configured input, applying
+        suppression against the *current* ionization state."""
+        from .io.readers import read_halo_catalog
+        from .sources import (apply_suppression_and_luminosities,
+                              randomize_source_order,
+                              read_test_source_file)
+
+        c = self.config
+        z = float(c.nbody.zred_array[nz])
+        if c.source_input == "catalog":
+            if c.halo_model is None:
+                raise ValueError("source_input='catalog' needs a "
+                                 "halo_model (HaloSourceModel)")
+            cat = read_halo_catalog(c.nbody, z)
+            xh1 = (np.asarray(self.state.h1) if self.state is not None
+                   else np.zeros(c.mesh**3))
+            sources, sstats = apply_suppression_and_luminosities(
+                cat, xh1, c.halo_model, self.sed, dt,
+                slice_index=nz)
+            self.last_suppression = sstats
+        elif c.source_input == "file":
+            sources = read_test_source_file(c.source_file, self.sed)
+        else:
+            raise ValueError(
+                "source_input='static' runs need sources passed to "
+                "run()/run_slice() directly")
+        if c.randomize_sources:
+            sources = randomize_source_order(sources)
+        return sources
+
+    def prepare_slice(self, nz: int):
+        """Per-slice material input (C2Ray.F90:260-271): dens_ini,
+        set_clumping, set_LLS from files where configured."""
+        from .io.readers import (read_clumping_file, read_density_file,
+                                 read_lls_file)
+        from .material import ClumpingModel, LLSModel
+
+        c = self.config
+        z = float(c.nbody.zred_array[nz])
+        if c.density_input == "files":
+            nd = read_density_file(c.nbody, z, c.mesh,
+                                   density_unit=c.density_unit)
+            self.set_density(nd)
+        elif self.state is None:
+            self.init_uniform_material(z)
+        if c.clumping_input == "files":
+            c.clumping = ClumpingModel(
+                type_of_clumping=5,
+                grid=read_clumping_file(c.nbody, z))
+        if c.lls_input == "files":
+            self.lls = LLSModel(type_of_LLS=2,
+                                grid=read_lls_file(c.nbody, z))
+            self.lls_grid = jnp.asarray(
+                np.asarray(self.lls.grid).reshape(-1), dtype=c.dtype)
+
+    def run(self, sources: Optional[SourceList] = None, nz0: int = 0,
+            num_slices: Optional[int] = None, write_output=True):
+        """The full redshift loop (C2Ray.F90:238-380): for each slice,
+        set the timestep, read/derive density + clumping + LLS, build
+        the source list (suppression against the current xh), then run
+        the timestep loop -- all from one declarative config.
+
+        `sources`: a static SourceList for source_input='static' runs
+        (the synthetic test configuration).  Stops early on a photon
+        conservation violation when configured (C2Ray.F90:351-372).
+        Returns the per-slice stats lists.
+        """
+        c = self.config
+        zs = c.nbody.zred_array
+        last = (len(zs) - 1 if num_slices is None
+                else min(nz0 + num_slices, len(zs) - 1))
+        all_stats = []
+        for nz in range(nz0, last):
+            self.prepare_slice(nz)
+            z1, z2 = float(zs[nz]), float(zs[nz + 1])
+            _, _, dt = set_timesteps(self.clock, z1, z2,
+                                     c.steps_per_slice)
+            slice_srcs = (sources if c.source_input == "static"
+                          else self.slice_sources(nz, dt))
+            if slice_srcs is None:
+                raise ValueError("no sources: pass a SourceList or "
+                                 "configure source_input")
+            stats = self.run_slice(nz, slice_srcs,
+                                   write_output=write_output)
+            all_stats.append(stats)
+        return all_stats
+
+    def _current_lls_grid(self):
+        """Per-cell LLS opacity column for this step, or None.
+
+        Type-2 grids pass through; a type-1 scalar in a cosmological
+        run is broadcast so its z-evolution stays a traced value
+        (set_LLS, mat_ini_test.F90:640-663)."""
+        c = self.config
+        if self.lls_grid is not None:
+            return self.lls_grid
+        col = self.lls.coldensh_per_cell()
+        if np.isscalar(col) and float(col) > 0.0 and c.cosmological:
+            return jnp.full((c.mesh**3,), float(col), dtype=c.dtype)
+        return None
 
     def _total_source_rate(self, sources: SourceList):
         s = 0.0

@@ -22,8 +22,12 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def save_iterdump(dump_dir, niter, state, rates, slot: Optional[int] = None):
-    """Write iterdump<slot>.npz (write_iteration_dump, evolve.F90:233-275)."""
+def save_iterdump(dump_dir, niter, state, rates, slot: Optional[int] = None,
+                  **meta):
+    """Write iterdump<slot>.npz (write_iteration_dump, evolve.F90:233-275).
+
+    Extra keyword scalars (e.g. subbox_radius) are stored as metadata
+    and returned by ``load_iterdump(with_meta=True)``."""
     os.makedirs(dump_dir, exist_ok=True)
     if slot is None:
         slot = 1 + (niter % 2)
@@ -31,6 +35,8 @@ def save_iterdump(dump_dir, niter, state, rates, slot: Optional[int] = None):
     # np.savez appends .npz itself, so the temp name must end with it
     tmp = os.path.join(dump_dir, f".iterdump{slot}.tmp.npz")
     payload = {"niter": niter, "timestamp": time.time()}
+    for k, v in meta.items():
+        payload[f"meta_{k}"] = v
     for name, leaf in state._asdict().items():
         payload[f"state_{name}"] = np.asarray(leaf)
     for name, leaf in rates._asdict().items():
@@ -40,8 +46,8 @@ def save_iterdump(dump_dir, niter, state, rates, slot: Optional[int] = None):
     return path
 
 
-def load_iterdump(dump_dir, state_cls, rates_cls, slot: Optional[int] = None
-                  ) -> Tuple[int, object, object]:
+def load_iterdump(dump_dir, state_cls, rates_cls, slot: Optional[int] = None,
+                  with_meta=False):
     """Read the newest (or requested) iteration dump
     (start_from_dump, evolve.F90:279-367)."""
     candidates = []
@@ -58,6 +64,10 @@ def load_iterdump(dump_dir, state_cls, rates_cls, slot: Optional[int] = None
                              for name in state_cls._fields})
         rates = rates_cls(**{name: z[f"rates_{name}"]
                              for name in rates_cls._fields})
+        meta = {k[5:]: z[k].item() for k in z.files
+                if k.startswith("meta_")}
+    if with_meta:
+        return niter, state, rates, meta
     return niter, state, rates
 
 

@@ -116,17 +116,24 @@ class OutputWriter:
                         f, np.asarray(cut.shape, dtype=np.int32))
                     write_fortran_record(f, cut.astype(np.float32))
 
-    def write_photon_counts(self, budget, photon_loss, dt):
+    def write_photon_counts(self, budget, photon_loss=None, dt=1.0):
         """PhotonCounts.out line (report_photonstatistics,
-        photonstatistics.f90:289-299)."""
+        photonstatistics.f90:289-299).
+
+        `photon_loss` (photons/s) is legacy; new callers bake the
+        losses into the budget (total_photon_loss/total_lls_loss,
+        already x dt)."""
         total_src = float(budget.total_src)
+        loss = (float(budget.total_photon_loss)
+                + float(budget.total_lls_loss)
+                if photon_loss is None else float(photon_loss) * dt)
         with open(self._photon_counts, "a") as f:
             vals = [float(budget.total_ion), total_src,
-                    float(budget.recomions), float(photon_loss) * dt,
+                    float(budget.recomions), loss,
                     float(budget.totrec), float(budget.totcollisions),
                     float(budget.totrec) / max(float(budget.total_ion),
                                                1e-300),
-                    float(photon_loss) * dt / max(total_src, 1e-300),
+                    loss / max(total_src, 1e-300),
                     float(budget.totcollisions)
                     / max(float(budget.total_ion), 1e-300)]
             f.write(" ".join(f"{v:10.3e}" for v in vals) + "\n")

@@ -65,26 +65,35 @@ def pad_sources(srcpos, nflux, n_devices: int):
     return srcpos, nflux
 
 
-def make_parallel_iteration(pcfg: ParallelConfig):
+def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
     """One jitted sharded {source sweep + global chemistry} iteration.
 
     Input sharding: grid state replicated for the sweep, sources sharded
     over the device axis; chemistry re-shards the cell axis.
+
+    `radius` (static) bounds the pyramid trace (the expanding-subbox
+    mechanism, evolve_source.F90:114-144); `dr`/`vol_over_scale`/
+    `cosmo_cool_factor` are traced per-step scalars so cosmological
+    runs never recompile (cosmo_evol, cosmology.f90:159-202).
     """
     cfg = pcfg.cfg
     mesh = pcfg.mesh
 
     full_extent = cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1)
     engine = getattr(cfg, "engine", "pyramid") if full_extent else "shells"
-    dense_sweep = {"pyramid": sweep_pyramid_source_batch,
-                   "octant": sweep_octant_source_batch}.get(engine)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(AXIS), P(AXIS)),
+             in_specs=(P(), P(AXIS), P(AXIS), P(), P()),
              out_specs=P())
-    def sweep_shard(fields: SourceFields, srcpos, nflux) -> RateGrids:
-        if dense_sweep is not None:
-            rates = dense_sweep(cfg.sweep, fields, srcpos, nflux)
+    def sweep_shard(fields: SourceFields, srcpos, nflux, dr,
+                    vol_over_scale) -> RateGrids:
+        if engine == "pyramid":
+            rates = sweep_pyramid_source_batch(
+                cfg.sweep, fields, srcpos, nflux, radius=radius,
+                dr=dr, vol_over_scale=vol_over_scale)
+        elif engine == "octant":
+            rates = sweep_octant_source_batch(cfg.sweep, fields,
+                                              srcpos, nflux)
         else:
             rates = sweep_sources_accumulate(cfg.sweep, cfg.shells,
                                              fields, srcpos, nflux)
@@ -92,67 +101,135 @@ def make_parallel_iteration(pcfg: ParallelConfig):
         return jax.tree.map(lambda x: jax.lax.psum(x, AXIS), rates)
 
     rates_spec = RateGrids(phih=P(AXIS), phihe0=P(AXIS), phihe1=P(AXIS),
-                           phiheat=P(AXIS), photon_loss=P())
+                           phiheat=P(AXIS), photon_loss=P(),
+                           lls_loss=P())
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(AXIS), rates_spec, P()),
+             in_specs=(P(AXIS), rates_spec, P(), P()),
              out_specs=(P(AXIS), P()))
-    def chem_shard(state: GridState, rates: RateGrids, dt):
-        new_state, conv = global_chemistry_pass(cfg.chem, state, rates, dt)
+    def chem_shard(state: GridState, rates: RateGrids, dt,
+                   cosmo_cool_factor):
+        new_state, conv = global_chemistry_pass(cfg.chem, state, rates,
+                                                dt, cosmo_cool_factor)
         return new_state, jax.lax.psum(conv, AXIS)
 
     @jax.jit
-    def iteration(state: GridState, srcpos, nflux, dt):
+    def iteration(state: GridState, srcpos, nflux, dt, dr=None,
+                  vol_over_scale=None, cosmo_cool_factor=None):
+        dtype = state.ndens.dtype
+        if dr is None:
+            dr = jnp.asarray(cfg.sweep.dr, dtype=dtype)
+            vol_over_scale = jnp.asarray(
+                cfg.sweep.vol / cfg.sweep.flux_scale, dtype=dtype)
+        if cosmo_cool_factor is None:
+            cosmo_cool_factor = jnp.asarray(cfg.chem.cosmo_cool_factor,
+                                            dtype=dtype)
         fields = SourceFields(
             ndens=state.ndens,
             h_av0=state.h_av0, h_av1=state.h_av1,
             he_av0=state.he_av0, he_av1=state.he_av1,
         )
-        rates = sweep_shard(fields, srcpos, nflux)
+        rates = sweep_shard(fields, srcpos, nflux, dr, vol_over_scale)
         # clumping may be a scalar; broadcast so the cell axis shards
         st = state
         if st.clumping.ndim == 0:
             st = st._replace(clumping=jnp.broadcast_to(
                 st.clumping, st.ndens.shape))
-        new_state, conv_flag = chem_shard(st, rates, dt)
-        return new_state, conv_flag, rates.photon_loss
+        new_state, conv_flag = chem_shard(st, rates, dt,
+                                          cosmo_cool_factor)
+        return (new_state, conv_flag, rates.photon_loss,
+                rates.lls_loss)
 
     return iteration
 
 
 def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
-                      nflux, dt, iteration_fn=None):
+                      nflux, dt, iteration_fn=None, dr=None,
+                      cosmo_cool_factor=None, iteration_cache=None,
+                      initial_radius=None):
     """Sharded evolve3D: same convergence protocol as the single-chip
-    path (evolve.F90:147-181)."""
+    path (evolve.F90:147-181), including the adaptive expanding subbox
+    (evolve_source.F90:114-144) and traced per-step `dr` /
+    `cosmo_cool_factor` so cosmological runs never recompile."""
     from ..state import begin_timestep, finish_timestep
-    from ..sweep.evolve3d import Evolve3DStats
+    from ..sweep.evolve3d import (Evolve3DStats, _scaled_source_strength,
+                                  _subbox_radii)
 
-    if iteration_fn is None:
-        iteration_fn = make_parallel_iteration(pcfg)
-
+    cfg = pcfg.cfg
     n_dev = pcfg.mesh.devices.size
     srcpos, nflux = pad_sources(np.asarray(srcpos), np.asarray(nflux),
                                 n_dev)
     srcpos = jnp.asarray(srcpos)
     nflux = jnp.asarray(nflux)
 
-    cfg = pcfg.cfg
+    adaptive = (iteration_fn is None and cfg.use_subbox
+                and cfg.engine == "pyramid"
+                and cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1))
+    if iteration_cache is None:
+        iteration_cache = {}
+    if adaptive:
+        radii = _subbox_radii(cfg)
+
+        def iteration_at(r):
+            if r not in iteration_cache:
+                iteration_cache[r] = make_parallel_iteration(
+                    pcfg, radius=None if r == radii[-1] else r)
+            return iteration_cache[r]
+
+        total_strength = _scaled_source_strength(cfg.sweep, nflux)
+        loss_wall = cfg.min_fraction_of_photons * max(total_strength,
+                                                      1e-300)
+        r_idx = 0
+        if initial_radius is not None:
+            while (r_idx + 1 < len(radii)
+                   and radii[r_idx] < initial_radius):
+                r_idx += 1
+    elif iteration_fn is None:
+        if "full" not in iteration_cache:
+            iteration_cache["full"] = make_parallel_iteration(pcfg)
+        iteration_fn = iteration_cache["full"]
+
     n = state.mesh3
     num_src = int(jnp.sum(jnp.any(nflux > 0, axis=1)))
     conv_criterion = min(int(cfg.convergence_fraction * n), max(num_src, 1))
 
     state = begin_timestep(state)
-    conv_flag, niter, ploss = n, 0, 0.0
+    conv_flag, niter, ploss, lls_loss = n, 0, 0.0, 0.0
+    radius_used = 0
     while True:
         if conv_flag < conv_criterion and niter > 1:
             break
         if niter > cfg.max_iterations:
             break
         niter += 1
-        state, conv_dev, ploss_dev = iteration_fn(state, srcpos, nflux, dt)
+        kw = {}
+        if dr is not None:
+            drf = float(dr)
+            kw = {"dr": jnp.asarray(drf),
+                  "vol_over_scale": jnp.asarray(
+                      drf ** 3 / cfg.sweep.flux_scale)}
+        if cosmo_cool_factor is not None:
+            kw["cosmo_cool_factor"] = jnp.asarray(
+                float(cosmo_cool_factor))
+        if adaptive:
+            while True:
+                out = iteration_at(radii[r_idx])(state, srcpos, nflux,
+                                                 dt, **kw)
+                if (r_idx + 1 >= len(radii)
+                        or float(out[2]) <= loss_wall):
+                    break
+                r_idx += 1
+            radius_used = radii[r_idx]
+            state, conv_dev, ploss_dev, lls_dev = out
+        else:
+            state, conv_dev, ploss_dev, lls_dev = iteration_fn(
+                state, srcpos, nflux, dt, **kw)
         conv_flag = int(conv_dev)
         ploss = float(ploss_dev)
+        lls_loss = float(lls_dev)
 
     state = finish_timestep(state)
     return state, Evolve3DStats(n_iterations=niter, conv_flag=conv_flag,
-                                photon_loss=ploss)
+                                photon_loss=ploss,
+                                subbox_radius=radius_used,
+                                lls_loss=lls_loss)

@@ -59,6 +59,10 @@ class PhotonBudget(NamedTuple):
     recomions: jnp.ndarray        # He-recombination-driven ionizations
     total_src: jnp.ndarray        # photons emitted
     photon_conservation: jnp.ndarray  # (ion - coll - recomion)/src
+    # photons lost over the trace boundary / in LLSs this step
+    # (photonstatistics.f90:278-281)
+    total_photon_loss: float = 0.0
+    total_lls_loss: float = 0.0
 
 
 def total_rates(state: GridState, rates: RateCoeffs, vol, dt):
@@ -86,11 +90,14 @@ def total_rates(state: GridState, rates: RateCoeffs, vol, dt):
 
 
 def photon_budget(before: SpeciesInventory, state: GridState,
-                  rates: RateCoeffs, vol, dt, total_src) -> PhotonBudget:
+                  rates: RateCoeffs, vol, dt, total_src,
+                  photon_loss=0.0, lls_loss=0.0) -> PhotonBudget:
     """Full conservation report for one step.
 
     ``total_src``: photons emitted = sum(NormFlux)*S_star*dt
-    (photonstatistics.f90:282-288).
+    (photonstatistics.f90:282-288).  ``photon_loss`` / ``lls_loss``
+    are the last iteration's loss rates in physical photons/s; they
+    enter the report as loss*dt (photonstatistics.f90:278-281).
     """
     after = species_inventory(state, vol, use_start=True)
     # total_ionizations (photonstatistics.f90:239-247)
@@ -105,4 +112,24 @@ def photon_budget(before: SpeciesInventory, state: GridState,
     return PhotonBudget(
         total_ion=total_ion, totrec=totrec, totcollisions=totcoll,
         recomions=recomions, total_src=float(total_src),
-        photon_conservation=photcons)
+        photon_conservation=photcons,
+        total_photon_loss=float(photon_loss) * float(dt),
+        total_lls_loss=float(lls_loss) * float(dt))
+
+
+def photcons_violation(budget: PhotonBudget, tolerance=0.15) -> int:
+    """photcons_flag (output.F90:522-533): flag a photon-conservation
+    problem when more than `tolerance` of the emitted photons are
+    unaccounted for AND the deficit is not explained by photons leaving
+    the grid.  (The reference codes this check but leaves it commented
+    'until I checked how I calculate those quantities'; the criterion
+    here is that commented logic, active.)  Checked by the driver
+    against `stop_on_photon_violation` (C2Ray.F90:351-372)."""
+    if budget.total_src <= 0.0:
+        return 0
+    deficit = 1.0 - float(budget.photon_conservation)
+    loss_frac = (budget.total_photon_loss + budget.total_lls_loss) \
+        / budget.total_src
+    if deficit > tolerance and loss_frac < deficit:
+        return 1
+    return 0

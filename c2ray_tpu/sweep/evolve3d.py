@@ -61,6 +61,10 @@ class Evolve3DStats(NamedTuple):
     conv_flag: int
     photon_loss: float
     subbox_radius: int = 0
+    # photons/s absorbed in LLSs during the last iteration
+    # (photonstatistics.f90:59; enters the conservation budget as
+    # LLS_loss*dt, photonstatistics.f90:281)
+    lls_loss: float = 0.0
 
 
 def _scaled_source_strength(sweep_cfg: SweepConfig, nflux) -> float:
@@ -93,10 +97,14 @@ def _subbox_radii(cfg: Evolve3DConfig):
     return radii
 
 
-def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None):
+def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None,
+                            return_rates=False):
     """One jitted {sweep + global pass} iteration.
 
     `radius` (static) bounds the pyramid engine's trace; None = full.
+    `return_rates` additionally returns the accumulated RateGrids --
+    used by the mid-iteration checkpoint path (the reference dumps the
+    rate grids inside the convergence loop, evolve.F90:233-275).
     """
 
     # pyramid/octant require the full periodic trace extents
@@ -108,7 +116,8 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None):
 
     @jax.jit
     def iteration(state: GridState, srcpos, nflux, dt, dr=None,
-                  vol_over_scale=None, cosmo_cool_factor=None):
+                  vol_over_scale=None, cosmo_cool_factor=None,
+                  lls_grid=None):
         fields = SourceFields(
             ndens=state.ndens,
             h_av0=state.h_av0, h_av1=state.h_av1,
@@ -117,7 +126,7 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None):
         if engine == "pyramid":
             rates = sweep_pyramid_source_batch(
                 cfg.sweep, fields, srcpos, nflux, radius=radius,
-                dr=dr, vol_over_scale=vol_over_scale)
+                dr=dr, vol_over_scale=vol_over_scale, lls_grid=lls_grid)
         elif dense_sweep is not None:
             rates = dense_sweep(cfg.sweep, fields, srcpos, nflux)
         else:
@@ -125,14 +134,19 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None):
                                              fields, srcpos, nflux)
         new_state, conv_flag = global_chemistry_pass(
             cfg.chem, state, rates, dt, cosmo_cool_factor)
-        return new_state, conv_flag, rates.photon_loss
+        if return_rates:
+            return (new_state, conv_flag, rates.photon_loss,
+                    rates.lls_loss, rates)
+        return new_state, conv_flag, rates.photon_loss, rates.lls_loss
 
     return iteration
 
 
 def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
              iteration_fn=None, dr=None, cosmo_cool_factor=None,
-             iteration_cache=None, initial_radius=None):
+             iteration_cache=None, initial_radius=None, lls_grid=None,
+             dump_dir=None, dump_interval_s=900.0,
+             start_from_dump=False):
     """Full evolve3D (evolve.F90:78-229).
 
     srcpos: (S, 3) int32; nflux: (S, 3) float.  Returns
@@ -158,20 +172,38 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
     each subbox size compiles once per run, not once per timestep.
     `initial_radius` seeds the adaptive radius (e.g. the previous
     step's converged radius).
+
+    `dump_dir` enables the reference's mid-iteration checkpoints:
+    every `dump_interval_s` wall seconds, the pre-iteration state +
+    that iteration's rate grids are written to alternating iterdump
+    slots (evolve.F90:199-212, 233-275).  `start_from_dump=True`
+    resumes mid-timestep: the dumped rates are re-applied with one
+    global chemistry pass and the convergence loop continues from the
+    dumped iteration count (start_from_dump, evolve.F90:279-367;
+    driver plumbing C2Ray.F90:191-216).
     """
+    import time as _time
+
     adaptive = (iteration_fn is None and cfg.use_subbox
                 and cfg.engine == "pyramid"
                 and cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1))
     if iteration_cache is None:
         iteration_cache = {}
+    want_rates = dump_dir is not None
+
+    def _make(r):
+        return make_evolve3d_iteration(cfg, radius=r,
+                                       return_rates=want_rates)
+
     if adaptive:
         radii = _subbox_radii(cfg)
 
         def iteration_at(r):
-            if r not in iteration_cache:
-                iteration_cache[r] = make_evolve3d_iteration(
-                    cfg, radius=None if r == radii[-1] else r)
-            return iteration_cache[r]
+            key = (r, "rates") if want_rates else r
+            if key not in iteration_cache:
+                iteration_cache[key] = _make(
+                    None if r == radii[-1] else r)
+            return iteration_cache[key]
 
         total_strength = _scaled_source_strength(cfg.sweep, nflux)
         loss_wall = cfg.min_fraction_of_photons * max(total_strength,
@@ -182,19 +214,47 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
                    and radii[r_idx] < initial_radius):
                 r_idx += 1
     elif iteration_fn is None:
-        if "full" not in iteration_cache:
-            iteration_cache["full"] = make_evolve3d_iteration(cfg)
-        iteration_fn = iteration_cache["full"]
+        key = ("full", "rates") if want_rates else "full"
+        if key not in iteration_cache:
+            iteration_cache[key] = _make(None)
+        iteration_fn = iteration_cache[key]
 
     n = state.mesh3
     num_src = int(srcpos.shape[0])
     conv_criterion = min(int(cfg.convergence_fraction * n), num_src)
 
-    state = begin_timestep(state)
-    conv_flag = n
-    niter = 0
+    resume_niter = 0
+    resume_conv = None
+    if start_from_dump:
+        # mid-timestep resume: restore the pre-iteration state + rates,
+        # re-apply the chemistry pass (evolve.F90:137-141)
+        from ..io.checkpoint import load_iterdump
+        from ..state import GridState
+
+        resume_niter, st_np, rt_np, meta = load_iterdump(
+            dump_dir, GridState, RateGrids, with_meta=True)
+        dtype = state.ndens.dtype
+        state = GridState(*[jnp.asarray(x, dtype=dtype)
+                            for x in st_np])
+        rates = RateGrids(*[jnp.asarray(x, dtype=dtype)
+                            for x in rt_np])
+        ccf = (None if cosmo_cool_factor is None
+               else jnp.asarray(float(cosmo_cool_factor)))
+        state, conv_dev = global_chemistry_pass(cfg.chem, state, rates,
+                                                jnp.asarray(dt), ccf)
+        resume_conv = int(conv_dev)
+        if adaptive and meta.get("subbox_radius"):
+            r_sub = int(meta["subbox_radius"])
+            while (r_idx + 1 < len(radii) and radii[r_idx] < r_sub):
+                r_idx += 1
+    else:
+        state = begin_timestep(state)
+    conv_flag = n if resume_conv is None else resume_conv
+    niter = resume_niter
     ploss = 0.0
+    lls_loss = 0.0
     radius_used = 0
+    last_dump = _time.time()
     while True:
         # convergence test at loop head (evolve.F90:154-182); require at
         # least two iterations so sources can interact
@@ -212,6 +272,9 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
         if cosmo_cool_factor is not None:
             kw["cosmo_cool_factor"] = jnp.asarray(
                 float(cosmo_cool_factor))
+        if lls_grid is not None:
+            kw["lls_grid"] = lls_grid
+        prev_state = state
         if adaptive:
             while True:
                 out = iteration_at(radii[r_idx])(state, srcpos, nflux,
@@ -221,15 +284,25 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
                     break
                 r_idx += 1
             radius_used = radii[r_idx]
-            new_state, conv_flag_dev, ploss_dev = out
         else:
-            new_state, conv_flag_dev, ploss_dev = iteration_fn(
-                state, srcpos, nflux, dt, **kw)
-        state = new_state
+            out = iteration_fn(state, srcpos, nflux, dt, **kw)
+        state, conv_flag_dev, ploss_dev, lls_dev = out[:4]
         conv_flag = int(conv_flag_dev)
         ploss = float(ploss_dev)
+        lls_loss = float(lls_dev)
+
+        # mid-iteration checkpoint (write_iteration_dump,
+        # evolve.F90:199-212): the pre-iteration state + this
+        # iteration's rates fully determine the post-iteration state
+        if want_rates and _time.time() - last_dump >= dump_interval_s:
+            from ..io.checkpoint import save_iterdump
+
+            save_iterdump(dump_dir, niter, prev_state, out[4],
+                          subbox_radius=radius_used)
+            last_dump = _time.time()
 
     state = finish_timestep(state)
     return state, Evolve3DStats(n_iterations=niter, conv_flag=conv_flag,
                                 photon_loss=ploss,
-                                subbox_radius=radius_used)
+                                subbox_radius=radius_used,
+                                lls_loss=lls_loss)

@@ -325,5 +325,6 @@ def sweep_octant_source_batch(cfg: SweepConfig, fields: SourceFields,
     rg = jnp.sum(jnp.where(live[:, None, None, None, None],
                            rate_grids, 0.0), axis=0).reshape(n, 4)
     pl = jnp.sum(jnp.where(live, plosses, 0.0))
-    return RateGrids(phih=rg[:, 0], phihe0=rg[:, 1], phihe1=rg[:, 2],
+    return RateGrids(lls_loss=jnp.zeros_like(pl),
+                     phih=rg[:, 0], phihe0=rg[:, 1], phihe1=rg[:, 2],
                      phiheat=rg[:, 3], photon_loss=pl)

@@ -113,31 +113,29 @@ def _put_col(p, j, vec, on=None):
     return out if on is None else jnp.where(on, out, p)
 
 
-def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
-                               srcpos_batch, nflux_batch,
-                               radius: int = None, dr=None,
-                               vol_over_scale=None) -> RateGrids:
-    """Dominant-axis pyramid trace of a source batch; same contract as
-    `sweep_octant_source_batch` (even cubic mesh, default trace
-    extents +R / -(R-1), evolve_source.F90:103-109).
+def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
+                   dr=None, vol_over_scale=None):
+    """Pyramid trace of ONE source sitting at the cube center
+    ctr = M//2 - 1 on every axis.
 
-    `radius` (static) restricts the trace to a subbox of +-radius
-    cells around each source (the reference's expanding-subbox
-    mechanism, evolve_source.F90:114-144): rates outside are zero
-    and photons crossing the subbox surface count as photon loss.
+    f_ctr: (M, M, M, C) stacked fields [ndens, h_av0, h_av1, he_av0,
+    he_av1(, coldensh_LLS)]; C = 6 enables the position-dependent LLS
+    opacity (type_of_LLS == 2, evolve_point.F90:177-180).  M is the
+    *window* size -- the full mesh for the replicated engine, or the
+    subbox window for the domain-decomposed engine
+    (parallel/domain.py), which is why this function never wraps
+    periodically itself.
 
-    `dr` (traced, optional) overrides cfg.dr: the comoving-expansion
-    rescaling changes the proper cell size every timestep
-    (cosmo_evol, cosmology.f90:159-202), and passing it as a runtime
-    value avoids recompiling the sweep each step.
+    Returns (rate cube (M, M, M, 4), photon_loss, lls_loss); lls_loss
+    is the photon count absorbed by the LLS fog
+    (total_LLS_loss, photonstatistics.f90:250-267).
     """
-    M = cfg.mesh
+    M = f_ctr.shape[0]
     R = M // 2
     Rf = R if radius is None else min(radius, R)
     Rb = (R - 1) if radius is None else min(radius, R - 1)
     ctr = R - 1
-    n = M**3
-    dtype = fields.ndens.dtype
+    dtype = f_ctr.dtype
     dr = jnp.asarray(cfg.dr if dr is None else dr, dtype=dtype)
     # dr^3/flux_scale must be computed on the host in f64 (the raw
     # cube of a cm-scale proper dr ~1e22 overflows f32); when dr is
@@ -148,12 +146,6 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
     abu = jnp.asarray(_ABU, dtype=dtype)
     sig = jnp.asarray(_SIGMAS, dtype=dtype)
 
-    eps = cfg.epsilon
-    fstack = jnp.stack(
-        [fields.ndens, jnp.maximum(fields.h_av0, eps),
-         jnp.maximum(fields.h_av1, eps), jnp.maximum(fields.he_av0, eps),
-         jnp.maximum(fields.he_av1, eps)], axis=-1).reshape(M, M, M, 5)
-
     buckets = _layer_buckets(Rf)
     win = []
     for lo, hi in buckets:
@@ -161,13 +153,13 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
         B = min(M - start, 2 * hi + 1)
         win.append((start, B))
 
-    def one_source(srcpos, nflux):
-        shift = (ctr - srcpos[0], ctr - srcpos[1], ctr - srcpos[2])
-        f_ctr = jnp.roll(fstack, shift=shift, axis=(0, 1, 2))
+    if True:
+        nflux = jnp.asarray(nflux, dtype=dtype)
         ncols = jnp.stack([f_ctr[..., 1], f_ctr[..., 3], f_ctr[..., 4]],
                           axis=-1) * f_ctr[..., 0:1]    # neutral densities
         base_cols = ncols * abu                          # (M,M,M,3)
         istate = f_ctr[..., 2]
+        lls_cube = f_ctr[..., 5] if f_ctr.shape[-1] > 5 else None
 
         # source cell's outgoing half-cell columns seed layer 0
         cc0 = base_cols[ctr, ctr, ctr] * (0.5 * dr)      # (3,)
@@ -204,7 +196,7 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
 
             def compute_stage(m, ell, W, lim_u, lim_v):
                 """One stage: W = assembled read plane pair (2,B,B,3).
-                Returns (cd_new, rates, ploss_contrib)."""
+                Returns (cd_new, rates, ploss_contrib, lls_contrib)."""
                 lf = ell.astype(dtype)
                 idx_f = ctr + ell
                 idx_b = ctr - ell
@@ -250,9 +242,21 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                 path_units = jnp.sqrt((d_u * d_u + d_v * d_v) / (lf * lf)
                                       + 1.0)
                 path = path_units * dr
-                if cfg.coldensh_LLS > 0.0:
-                    cd_in = cd_in.at[..., 0].add(
-                        cfg.coldensh_LLS * path_units)
+                # LLS fog column added to the incoming HI column
+                # (evolve_point.F90:170-180); position dependent when
+                # the fields carry an LLS channel (type_of_LLS == 2)
+                if lls_cube is not None:
+                    lls_pl = jnp.stack([axis_plane(lls_cube, m, idx_f),
+                                        axis_plane(lls_cube, m, idx_b)])
+                    lls_add = lls_pl * path_units
+                elif cfg.coldensh_LLS > 0.0:
+                    lls_add = (cfg.coldensh_LLS
+                               * jnp.broadcast_to(path_units,
+                                                  (2,) + path_units.shape))
+                else:
+                    lls_add = None
+                if lls_add is not None:
+                    cd_in = cd_in.at[..., 0].add(lls_add)
 
                 cd_out = cd_in + bcols * path[..., None]
 
@@ -275,11 +279,23 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                 pls = jnp.sum(jnp.where(live & on_bound,
                                         phi.photo_out / vol_ratio, 0.0))
 
+                # photons absorbed by the LLS fog: grey-opacity loss
+                # phi_in * (1 - e^-tau_LLS) (total_LLS_loss,
+                # photonstatistics.f90:250-267, evolve_point.F90:277)
+                if lls_add is not None:
+                    tau_lls = const.sigma_HI_at_ion_freq * lls_add
+                    lls = jnp.sum(jnp.where(
+                        live,
+                        phi.photo_in / vol_ratio * (-jnp.expm1(-tau_lls)),
+                        0.0))
+                else:
+                    lls = jnp.zeros((), dtype=dtype)
+
                 cd_new = jnp.where(valid[..., None], cd_out, 0.0)
-                return cd_new, rates, pls
+                return cd_new, rates, pls, lls
 
             def step(carry, ell):
-                Px, Py, Pz, pls = carry   # layer l-1 stage planes
+                Px, Py, Pz, pls, lls = carry   # layer l-1 stage planes
                 el32 = ell.astype(jnp.int32)
                 jf = ctr_w + el32 - 1     # window row of +(l-1)
                 jb = ctr_w - el32 + 1
@@ -298,7 +314,8 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                     Ws = _put_col(Ws, jf, _get_row(Pz[0], arow))
                     Ws = _put_col(Ws, jb, _get_row(Pz[1], arow))
                     W = W.at[s].set(Ws)
-                cd_x, r_x, p1 = compute_stage(0, ell, W, ell - 1, ell - 1)
+                cd_x, r_x, p1, l1 = compute_stage(0, ell, W,
+                                                  ell - 1, ell - 1)
 
                 # --- W_y: plane b=+-(l-1) = Py + z cols (layer l-1)
                 # + x rows (layer l, this step)
@@ -312,7 +329,7 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                     Ws = _put_row(Ws, rb, _get_row(cd_x[1], brow),
                                   on=bwd_ok[..., None])
                     W = W.at[s].set(Ws)
-                cd_y, r_y, p2 = compute_stage(1, ell, W, ell, ell - 1)
+                cd_y, r_y, p2, l2 = compute_stage(1, ell, W, ell, ell - 1)
 
                 # --- W_z: plane c=+-(l-1) = Pz + x rows + y cols
                 # (both layer l, this step)
@@ -327,9 +344,10 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                     Ws = _put_col(Ws, rb, _get_col(cd_y[1], ccol),
                                   on=bwd_ok[..., None])
                     W = W.at[s].set(Ws)
-                cd_z, r_z, p3 = compute_stage(2, ell, W, ell, ell)
+                cd_z, r_z, p3, l3 = compute_stage(2, ell, W, ell, ell)
 
-                return ((cd_x, cd_y, cd_z, pls + p1 + p2 + p3),
+                return ((cd_x, cd_y, cd_z, pls + p1 + p2 + p3,
+                         lls + l1 + l2 + l3),
                         (r_x, r_y, r_z))
 
             return step
@@ -345,7 +363,7 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
         rate_stacks = []   # per bucket: (r_x, r_y, r_z) stacked over l
         start0, B0 = win[0]
         carry = (seed_planes(B0, start0), seed_planes(B0, start0),
-                 seed_planes(B0, start0), ploss)
+                 seed_planes(B0, start0), ploss, ploss)
         for bi, ((lo, hi), (start, B)) in enumerate(zip(buckets, win)):
             if bi > 0:
                 # re-embed previous bucket's carry planes in the wider
@@ -355,13 +373,14 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                 rpad = (start + B) - (pstart + pB)
                 grow = lambda p: jnp.pad(
                     p, [(0, 0), (lpad, rpad), (lpad, rpad), (0, 0)])
-                Px, Py, Pz, pls = carry
-                carry = (grow(Px), grow(Py), grow(Pz), pls)
+                Px, Py, Pz, pls, lls = carry
+                carry = (grow(Px), grow(Py), grow(Pz), pls, lls)
             step = make_bucket(start, B)
             carry, ys = jax.lax.scan(
                 step, carry, jnp.arange(lo, hi + 1, dtype=jnp.int32))
             rate_stacks.append(ys)
         ploss = carry[3]
+        lls_loss = carry[4]
 
         # --- assemble the rate cube from the stacked plane outputs
         # (static pads/concats only; every cell was written by exactly
@@ -399,17 +418,75 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                                phi0.photo_cell_HeII / denom0[2],
                                phi0.heat])
         cube = cube.at[ctr, ctr, ctr].set(src_rates)
+        return cube, ploss, lls_loss
 
+
+def stack_sweep_fields(cfg: SweepConfig, fields: SourceFields,
+                       lls_grid=None):
+    """(M, M, M, C) stacked field cube with the reference's epsilon
+    clamps (evolve_point.F90:120-132); C = 6 when a per-cell LLS
+    column grid is supplied (set_LLS type 2, mat_ini_test.F90:667-763).
+    """
+    M = cfg.mesh
+    eps = cfg.epsilon
+    chans = [fields.ndens, jnp.maximum(fields.h_av0, eps),
+             jnp.maximum(fields.h_av1, eps),
+             jnp.maximum(fields.he_av0, eps),
+             jnp.maximum(fields.he_av1, eps)]
+    if lls_grid is not None:
+        chans.append(jnp.asarray(lls_grid, dtype=fields.ndens.dtype)
+                     .reshape(-1))
+    C = len(chans)
+    return jnp.stack(chans, axis=-1).reshape(M, M, M, C)
+
+
+def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
+                               srcpos_batch, nflux_batch,
+                               radius: int = None, dr=None,
+                               vol_over_scale=None,
+                               lls_grid=None) -> RateGrids:
+    """Dominant-axis pyramid trace of a source batch; same contract as
+    `sweep_octant_source_batch` (even cubic mesh, default trace
+    extents +R / -(R-1), evolve_source.F90:103-109).
+
+    `radius` (static) restricts the trace to a subbox of +-radius
+    cells around each source (the reference's expanding-subbox
+    mechanism, evolve_source.F90:114-144): rates outside are zero
+    and photons crossing the subbox surface count as photon loss.
+
+    `dr` (traced, optional) overrides cfg.dr: the comoving-expansion
+    rescaling changes the proper cell size every timestep
+    (cosmo_evol, cosmology.f90:159-202), and passing it as a runtime
+    value avoids recompiling the sweep each step.
+
+    `lls_grid` (optional, (mesh^3,)) gives each cell's LLS opacity
+    column for the position-dependent LLS model (type 2,
+    mat_ini_test.F90:667-763, evolve_point.F90:177-180).
+    """
+    M = cfg.mesh
+    ctr = M // 2 - 1
+    n = M**3
+    dtype = fields.ndens.dtype
+    fstack = stack_sweep_fields(cfg, fields, lls_grid)
+
+    def one_source(srcpos, nflux):
+        shift = (ctr - srcpos[0], ctr - srcpos[1], ctr - srcpos[2])
+        f_ctr = jnp.roll(fstack, shift=shift, axis=(0, 1, 2))
+        cube, ploss, lls_loss = trace_centered(
+            cfg, f_ctr, nflux, radius=radius, dr=dr,
+            vol_over_scale=vol_over_scale)
         rate_grid = jnp.roll(cube, shift=(srcpos[0] - ctr,
                                           srcpos[1] - ctr,
                                           srcpos[2] - ctr),
                              axis=(0, 1, 2))
-        return rate_grid, ploss
+        return rate_grid, ploss, lls_loss
 
-    rate_grids, plosses = jax.vmap(one_source)(srcpos_batch, nflux_batch)
+    rate_grids, plosses, llses = jax.vmap(one_source)(srcpos_batch,
+                                                      nflux_batch)
     live = jnp.any(nflux_batch > 0.0, axis=1)
     rg = jnp.sum(jnp.where(live[:, None, None, None, None],
                            rate_grids, 0.0), axis=0).reshape(n, 4)
     pl = jnp.sum(jnp.where(live, plosses, 0.0))
+    ll = jnp.sum(jnp.where(live, llses, 0.0))
     return RateGrids(phih=rg[:, 0], phihe0=rg[:, 1], phihe1=rg[:, 2],
-                     phiheat=rg[:, 3], photon_loss=pl)
+                     phiheat=rg[:, 3], photon_loss=pl, lls_loss=ll)

@@ -88,13 +88,18 @@ class RateGrids(NamedTuple):
     phihe1: jnp.ndarray
     phiheat: jnp.ndarray
     photon_loss: jnp.ndarray  # scalar
+    # scalar: photons absorbed by the LLS fog this iteration
+    # (photonstatistics.f90:59,250-267; zeroed per iteration like
+    # photon_loss, evolve.F90:371-381)
+    lls_loss: jnp.ndarray = 0.0
 
 
 def zero_rate_grids(mesh: int, dtype) -> RateGrids:
     n = mesh**3
     z = jnp.zeros(n, dtype=dtype)
     return RateGrids(phih=z, phihe0=z, phihe1=z, phiheat=z,
-                     photon_loss=jnp.zeros((), dtype=dtype))
+                     photon_loss=jnp.zeros((), dtype=dtype),
+                     lls_loss=jnp.zeros((), dtype=dtype))
 
 
 def _cell_rates(cfg: SweepConfig, cd_in, cd_out, vol_ph, nflux, i_state):
@@ -138,6 +143,7 @@ def _sweep_one_source_stacked(cfg: SweepConfig, shells_xs, fstack,
     # the scan body under shard_map (jax "varying manual axes" typing)
     rg = jnp.zeros((n + 1, 4), dtype=dtype)
     ploss = jnp.zeros((), dtype=dtype) + nflux[0] * 0.0
+    lls_loss = jnp.zeros((), dtype=dtype) + nflux[0] * 0.0
 
     src_flat = (srcpos[0] * mesh + srcpos[1]) * mesh + srcpos[2]
 
@@ -161,7 +167,7 @@ def _sweep_one_source_stacked(cfg: SweepConfig, shells_xs, fstack,
     rg = rg.at[src_flat].add(rates0)
 
     def shell_step(carry, x):
-        cd_all, rg, ploss = carry
+        cd_all, rg, ploss, lls_loss = carry
         offs, mask, on_bound = x  # (W,3), (W,), (W,)
 
         cd_in, path = cinterp_shell(offs, srcpos, mesh, cd_all[:n])
@@ -178,8 +184,10 @@ def _sweep_one_source_stacked(cfg: SweepConfig, shells_xs, fstack,
 
         # LLS fog adds to the incoming HI column
         # (evolve_point.F90:177-180)
+        lls_add = None
         if cfg.coldensh_LLS > 0.0:
-            cd_in = cd_in.at[:, 0].add(cfg.coldensh_LLS * path / dr)
+            lls_add = cfg.coldensh_LLS * path / dr
+            cd_in = cd_in.at[:, 0].add(lls_add)
 
         f = fstack[flat]                                  # (W, 5)
         ncols = neutral_cols(f)                           # (W, 3)
@@ -208,11 +216,19 @@ def _sweep_one_source_stacked(cfg: SweepConfig, shells_xs, fstack,
         ploss = ploss + jnp.sum(
             jnp.where(live & on_bound, phi.photo_out / vol_ratio, 0.0))
 
-        return (cd_all, rg, ploss), None
+        # photons absorbed by the LLS fog (total_LLS_loss,
+        # photonstatistics.f90:250-267, evolve_point.F90:277)
+        if lls_add is not None:
+            tau_lls = const.sigma_HI_at_ion_freq * lls_add
+            lls_loss = lls_loss + jnp.sum(jnp.where(
+                live, phi.photo_in / vol_ratio * (-jnp.expm1(-tau_lls)),
+                0.0))
 
-    (cd_all, rg, ploss), _ = jax.lax.scan(
-        shell_step, (cd_all, rg, ploss), shells_xs)
-    return rg[:n], ploss
+        return (cd_all, rg, ploss, lls_loss), None
+
+    (cd_all, rg, ploss, lls_loss), _ = jax.lax.scan(
+        shell_step, (cd_all, rg, ploss, lls_loss), shells_xs)
+    return rg[:n], ploss, lls_loss
 
 
 def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
@@ -225,13 +241,15 @@ def sweep_one_source(cfg: SweepConfig, shells: ShellTable,
     """
     fstack = _stack_fields(cfg, fields)
     xs = _shells_xs(shells)
-    rg, ploss = _sweep_one_source_stacked(cfg, xs, fstack, srcpos, nflux)
+    rg, ploss, lls = _sweep_one_source_stacked(cfg, xs, fstack, srcpos,
+                                               nflux)
     return RateGrids(
         phih=rates_in.phih + rg[:, 0],
         phihe0=rates_in.phihe0 + rg[:, 1],
         phihe1=rates_in.phihe1 + rg[:, 2],
         phiheat=rates_in.phiheat + rg[:, 3],
-        photon_loss=rates_in.photon_loss + ploss)
+        photon_loss=rates_in.photon_loss + ploss,
+        lls_loss=rates_in.lls_loss + lls)
 
 
 def _stack_fields(cfg: SweepConfig, fields: SourceFields):
@@ -286,17 +304,19 @@ def sweep_sources_accumulate(cfg: SweepConfig, shells: ShellTable,
     pl0 = jnp.zeros((), dtype=dtype) + tie
 
     def group(carry, src):
-        rg_acc, pl_acc = carry
+        rg_acc, pl_acc, lls_acc = carry
         srcpos, nflux = src  # (B, 3), (B, 3)
-        rg, pl = jax.vmap(
+        rg, pl, lls = jax.vmap(
             lambda sp, nf: _sweep_one_source_stacked(cfg, xs, fstack,
                                                      sp, nf))(srcpos, nflux)
         live = jnp.any(nflux > 0.0, axis=1)
         rg_acc = rg_acc + jnp.sum(
             jnp.where(live[:, None, None], rg, 0.0), axis=0)
         pl_acc = pl_acc + jnp.sum(jnp.where(live, pl, 0.0))
-        return (rg_acc, pl_acc), None
+        lls_acc = lls_acc + jnp.sum(jnp.where(live, lls, 0.0))
+        return (rg_acc, pl_acc, lls_acc), None
 
-    (rg, pl), _ = jax.lax.scan(group, (rg0, pl0), (srcpos_g, nflux_g))
+    (rg, pl, lls), _ = jax.lax.scan(group, (rg0, pl0, pl0),
+                                    (srcpos_g, nflux_g))
     return RateGrids(phih=rg[:, 0], phihe0=rg[:, 1], phihe1=rg[:, 2],
-                     phiheat=rg[:, 3], photon_loss=pl)
+                     phiheat=rg[:, 3], photon_loss=pl, lls_loss=lls)

@@ -1,0 +1,203 @@
+"""Spatial domain decomposition of the sweep (parallel/domain.py).
+
+The de-novo TPU parallel mechanism (SURVEY.md section 2.5.6/section 7
+step 6): grid fields sharded into x-slabs, boundary planes exchanged
+with ppermute, windowed pyramid traces per owning device, rate halos
+folded back.  Differential-tested against the replicated single-device
+engine at the same static subbox radius.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from c2ray_tpu import constants as const
+from c2ray_tpu.parallel import (ParallelConfig, domain_evolve3d,
+                                group_sources_by_slab,
+                                make_domain_iteration, max_domain_radius,
+                                shard_state_slabs)
+from c2ray_tpu.parallel.domain import exchange_slab_halo, fold_slab_halo
+from c2ray_tpu.radiation import BlackBodySED, SEDConfig
+from c2ray_tpu.radiation.quadrature import build_quadrature_tables
+from c2ray_tpu.state import begin_timestep, initial_grid_state
+from c2ray_tpu.sweep import SweepConfig, build_shell_table
+from c2ray_tpu.sweep.evolve3d import (Evolve3DConfig, evolve3d,
+                                      make_evolve3d_iteration)
+from c2ray_tpu.sweep.global_pass import ChemistryConfig
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 devices")
+
+
+def _setup(M=16, isothermal=True, coldensh_LLS=0.0):
+    tables, sed, bands = build_quadrature_tables(
+        SEDConfig(bb=BlackBodySED(T_eff=1.0e5, S_star=1.0e49)),
+        isothermal=isothermal, dtype=jnp.float64)
+    dr = 14.0 * const.kpc / M
+    cooling = None
+    if not isothermal:
+        from c2ray_tpu.cooling import setup_cooling_tables
+        cooling = setup_cooling_tables(dtype=jnp.float64)
+    cfg = Evolve3DConfig(
+        sweep=SweepConfig(tables=tables, mesh=M, dr=dr,
+                          isothermal=isothermal,
+                          coldensh_LLS=coldensh_LLS,
+                          flux_scale=bands.flux_scale),
+        chem=ChemistryConfig(cooling=cooling, isothermal=isothermal,
+                             isothermal_temperature=1.0e4),
+        shells=build_shell_table(M),
+    )
+    state = initial_grid_state(np.full((M, M, M), 1.0e-3), 0.0, 0.0, 0.0,
+                               1.0e4)
+    return cfg, state
+
+
+# ---------------------------------------------------------------------------
+# halo-exchange primitives
+# ---------------------------------------------------------------------------
+
+@needs8
+@pytest.mark.parametrize("H", [1, 2, 5])   # 5 > S=2: multi-hop
+def test_halo_exchange_and_fold(H):
+    """exchange gathers the right periodic neighbor planes; fold is its
+    adjoint (scatter-add back to the owners)."""
+    from jax import shard_map
+
+    D = 8
+    S, M = 2, 16     # 16 planes over 8 devices
+    mesh = Mesh(np.array(jax.devices()[:D]), ("d",))
+    x = np.arange(M * 3.0).reshape(M, 3)
+
+    ex = shard_map(lambda s: exchange_slab_halo(s, H), mesh=mesh,
+                   in_specs=P("d"), out_specs=P("d"))
+    got = np.asarray(jax.jit(ex)(jnp.asarray(x)))
+    # device d's block of the output is [d*S-H, (d+1)*S+H) periodic
+    got = got.reshape(D, S + 2 * H, 3)
+    for d in range(D):
+        idx = (np.arange(d * S - H, (d + 1) * S + H)) % M
+        np.testing.assert_array_equal(got[d], x[idx])
+
+    # fold: ones in every extended slab must deposit 1 + 2H/S-worth of
+    # overlap back; total mass is conserved
+    fo = shard_map(lambda s: fold_slab_halo(s, H), mesh=mesh,
+                   in_specs=P("d"), out_specs=P("d"))
+    ones = jnp.ones((D * (S + 2 * H), 3))
+    folded = np.asarray(jax.jit(fo)(ones))
+    assert folded.shape == (M, 3)
+    np.testing.assert_allclose(folded.sum(), D * (S + 2 * H) * 3)
+    # every plane is covered by its own slab plus the halos of its
+    # neighbors; with uniform input the deposit count is uniform
+    np.testing.assert_allclose(folded, np.full_like(folded, folded[0, 0]))
+
+
+# ---------------------------------------------------------------------------
+# differential: sharded windowed sweep == replicated subbox sweep
+# ---------------------------------------------------------------------------
+
+@needs8
+@pytest.mark.parametrize("radius", [5, 7])   # H=6 > S=2 multi-hop; 7=max
+def test_domain_iteration_matches_replicated(radius):
+    cfg, state = _setup(M=16)
+    M = cfg.sweep.mesh
+    rng = np.random.RandomState(7)
+    nsrc = 6
+    srcpos = rng.randint(0, M, (nsrc, 3)).astype(np.int32)
+    nflux = np.column_stack([rng.uniform(0.5, 2.0, nsrc),
+                             np.zeros((nsrc, 2))])
+    dt = jnp.float64(5e13)
+    state0 = begin_timestep(state)
+
+    it1 = make_evolve3d_iteration(cfg, radius=radius)
+    s1, conv1, pl1, _ = it1(state0, jnp.asarray(srcpos),
+                            jnp.asarray(nflux), dt)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    pcfg = ParallelConfig(cfg=cfg, mesh=mesh)
+    itd = make_domain_iteration(pcfg, radius)
+    sp, nf = group_sources_by_slab(srcpos, nflux, M, 8)
+    st8 = shard_state_slabs(state0, mesh)
+    s8, conv8, pl8, _ = itd(st8, jnp.asarray(sp), jnp.asarray(nf), dt)
+
+    # the state stays slab-sharded end to end (mesh^3/D per device)
+    assert s8.ndens.sharding.spec == P("d")
+    shard_sizes = {sh.data.size for sh in s8.h_av1.addressable_shards}
+    assert shard_sizes == {M**3 // 8}
+
+    # window-accumulate + halo-fold sums in a different order than the
+    # replicated full-cube reduction: agreement is f64-rounding-level
+    np.testing.assert_allclose(np.asarray(s8.h_av1),
+                               np.asarray(s1.h_av1), rtol=5e-11)
+    # tiny HeIII fractions amplify the rate-level rounding through
+    # doric's stiff exponentials; compare at absolute f64 noise level
+    np.testing.assert_allclose(np.asarray(s8.he_av2),
+                               np.asarray(s1.he_av2), rtol=1e-7,
+                               atol=1e-14)
+    np.testing.assert_allclose(float(pl8), float(pl1), rtol=1e-11)
+    assert int(conv8) == int(conv1)
+
+
+@needs8
+def test_domain_evolve3d_matches_replicated_full_step():
+    """Full convergence loop, non-isothermal, fixed radius."""
+    cfg, state = _setup(M=16, isothermal=False)
+    M = cfg.sweep.mesh
+    srcpos = np.array([[8, 8, 8], [3, 12, 5]], dtype=np.int32)
+    nflux = np.array([[1.0, 0, 0], [0.7, 0, 0]])
+    dt = 5e13
+    r = 6
+
+    s1, st1 = evolve3d(cfg, state, jnp.asarray(srcpos),
+                       jnp.asarray(nflux), dt,
+                       iteration_fn=make_evolve3d_iteration(cfg, radius=r))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    pcfg = ParallelConfig(cfg=cfg, mesh=mesh)
+    s8, st8 = domain_evolve3d(pcfg, shard_state_slabs(state, mesh),
+                              srcpos, nflux, dt, radius=r)
+
+    assert st8.n_iterations == st1.n_iterations
+    np.testing.assert_allclose(np.asarray(s8.h1), np.asarray(s1.h1),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s8.t_final),
+                               np.asarray(s1.t_final), rtol=1e-10)
+
+
+@needs8
+def test_domain_lls_grid_matches_scalar():
+    """A constant per-cell LLS grid must reproduce the homogeneous
+    scalar LLS model (type 1 vs type 2, mat_ini_test.F90:640-763), and
+    the LLS photon loss must be accounted."""
+    lls_col = 2.0e21
+    cfg_s, state = _setup(M=16, coldensh_LLS=lls_col)
+    cfg_g, _ = _setup(M=16)
+    M = 16
+    srcpos = np.array([[8, 8, 8]], dtype=np.int32)
+    nflux = np.array([[1.0, 0, 0]])
+    dt = jnp.float64(5e13)
+    state0 = begin_timestep(state)
+    r = 6
+
+    it_s = make_evolve3d_iteration(cfg_s, radius=r)
+    s1, _, pl1, lls1 = it_s(state0, jnp.asarray(srcpos),
+                            jnp.asarray(nflux), dt)
+    assert float(lls1) > 0.0
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    pcfg = ParallelConfig(cfg=cfg_g, mesh=mesh)
+    itd = make_domain_iteration(pcfg, r)
+    sp, nf = group_sources_by_slab(srcpos, nflux, M, 8)
+    grid = jnp.full((M**3,), lls_col, dtype=jnp.float64)
+    s8, _, pl8, lls8 = itd(shard_state_slabs(state0, mesh),
+                           jnp.asarray(sp), jnp.asarray(nf), dt,
+                           lls_grid=grid)
+
+    np.testing.assert_allclose(np.asarray(s8.h_av1),
+                               np.asarray(s1.h_av1), rtol=5e-11)
+    np.testing.assert_allclose(float(lls8), float(lls1), rtol=1e-11)
+
+
+def test_max_domain_radius():
+    assert max_domain_radius(16) == 7
+    assert max_domain_radius(128) == 63

@@ -1,0 +1,110 @@
+"""Grid-valued material models end to end through the 3D driver:
+type-5 position-dependent clumping (mat_ini_test.F90:544-553) and
+type-2 position-dependent LLS opacity (mat_ini_test.F90:667-763,
+evolve_point.F90:170-180), plus LLS photon-loss accounting
+(photonstatistics.f90:250-267) and the photon-conservation guard
+(C2Ray.F90:351-372)."""
+
+import numpy as np
+import pytest
+
+from c2ray_tpu.driver import (PhotonConservationError, Run3D, Run3DConfig)
+from c2ray_tpu.io.writers import OutputStreams
+from c2ray_tpu.material import ClumpingModel, LLSModel
+from c2ray_tpu.nbody import test_nbody as make_test_nbody
+from c2ray_tpu.photonstats import PhotonBudget, photcons_violation
+from c2ray_tpu.radiation.sed import BlackBodySED, SEDConfig
+from c2ray_tpu.sources import SourceList
+
+M = 16
+
+
+def _run(tmp_path, tag, clumping=None, lls=None, S_star=3e56,
+         **cfg_kw):
+    kw = dict(
+        mesh=M, nbody=make_test_nbody(),
+        sed=SEDConfig(bb=BlackBodySED(T_eff=5.0e4, S_star=S_star)),
+        isothermal=True, steps_per_slice=2,
+        results_dir=str(tmp_path / f"results_{tag}"),
+        dump_dir=str(tmp_path),
+        streams=OutputStreams(),
+    )
+    if clumping is not None:
+        kw["clumping"] = clumping
+    if lls is not None:
+        kw["lls"] = lls
+    kw.update(cfg_kw)
+    run = Run3D(Run3DConfig(**kw))
+    run.init_uniform_material()
+    sources = SourceList(srcpos=np.array([[8, 8, 8]], dtype=np.int32),
+                         nflux=np.array([[1.0, 0.0, 0.0]]))
+    stats = run.run_slice(0, sources, write_output=False)
+    return run, stats
+
+
+def test_clumping_grid_changes_front(tmp_path):
+    """A type-5 clumping cube must act per cell: clumping boosts
+    recombinations, so high-clumping cells stay more neutral."""
+    r1, _ = _run(tmp_path, "c1", clumping=ClumpingModel(
+        type_of_clumping=1, clumping_factor=1.0))
+
+    grid = np.ones((M, M, M))
+    grid[:M // 2] = 50.0          # heavily clumped half-box
+    r5, _ = _run(tmp_path, "c5", clumping=ClumpingModel(
+        type_of_clumping=5, grid=grid))
+
+    # the driver kept the full grid (not its mean)
+    assert np.asarray(r5.state.clumping).size == M**3
+
+    h1_1 = np.asarray(r1.state.h1).reshape(M, M, M)
+    h1_5 = np.asarray(r5.state.h1).reshape(M, M, M)
+    # clumped half recombines more -> less ionized than uniform run
+    assert h1_5[:M // 2].mean() < h1_1[:M // 2].mean()
+    # unclumped half is barely affected
+    np.testing.assert_allclose(h1_5[M // 2 + 2:].mean(),
+                               h1_1[M // 2 + 2:].mean(), rtol=0.2)
+
+
+def test_lls_grid_shifts_front_and_accounts_loss(tmp_path):
+    """A type-2 LLS cube must attenuate per cell and feed the LLS-loss
+    photon budget."""
+    r0, st0 = _run(tmp_path, "lls0")
+    grid = np.full((M, M, M), 3.0e21)
+    r2, st2 = _run(tmp_path, "lls2",
+                   lls=LLSModel(type_of_LLS=2, grid=grid))
+
+    assert r2.lls_grid is not None
+    h1_0 = np.asarray(r0.state.h1).reshape(M, M, M)
+    h1_2 = np.asarray(r2.state.h1).reshape(M, M, M)
+    # the fog absorbs photons: everywhere (except the source cell)
+    # less ionized
+    assert h1_2.mean() < h1_0.mean()
+    # and the absorbed photons are accounted
+    assert st2[-1].lls_loss > 0.0
+    assert st0[-1].lls_loss == 0.0
+    assert r2.last_budget.total_lls_loss > 0.0
+
+
+def test_photcons_violation_flag():
+    b = PhotonBudget(total_ion=1.0, totrec=0.0, totcollisions=0.0,
+                     recomions=0.0, total_src=10.0,
+                     photon_conservation=0.1,
+                     total_photon_loss=0.0, total_lls_loss=0.0)
+    assert photcons_violation(b) == 1
+    # deficit explained by photons leaving the grid -> no flag
+    b2 = b._replace(total_photon_loss=9.5)
+    assert photcons_violation(b2) == 0
+    # conservation ok -> no flag
+    b3 = b._replace(photon_conservation=0.99)
+    assert photcons_violation(b3) == 0
+
+
+def test_stop_on_photon_violation(tmp_path):
+    """With an absurdly strong source in a tiny box most photons leave
+    the grid as losses, so no violation; with losses sabotaged by a
+    huge LLS fog and add up, conservation still holds (fog loss is
+    accounted).  Force a violation instead via a tolerance of -1 so
+    any imbalance trips it."""
+    with pytest.raises(PhotonConservationError):
+        _run(tmp_path, "viol", stop_on_photon_violation=True,
+             photcons_tolerance=-1.0)

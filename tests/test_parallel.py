@@ -54,14 +54,15 @@ def test_sharded_iteration_matches_single_device():
 
     # single-device
     it1 = make_evolve3d_iteration(cfg)
-    s1, conv1, pl1 = it1(state0, jnp.asarray(srcpos), jnp.asarray(nflux), dt)
+    s1, conv1, pl1, _ = it1(state0, jnp.asarray(srcpos), jnp.asarray(nflux),
+                            dt)
 
     # 8-device sharded
     mesh_dev = Mesh(np.array(jax.devices()[:8]), ("d",))
     pcfg = ParallelConfig(cfg=cfg, mesh=mesh_dev)
     it8 = make_parallel_iteration(pcfg)
     sp, nf = pad_sources(srcpos, nflux, 8)
-    s8, conv8, pl8 = it8(state0, jnp.asarray(sp), jnp.asarray(nf), dt)
+    s8, conv8, pl8, _ = it8(state0, jnp.asarray(sp), jnp.asarray(nf), dt)
 
     # the psum reduction order differs from the sequential accumulation,
     # and the chemistry fixed point (1e-2 exit tolerance) amplifies the
