@@ -22,15 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 MESH = int(os.environ.get("BENCH_MESH", 128))
 N_SRC = int(os.environ.get("BENCH_SOURCES", 8))
 N_ITER = int(os.environ.get("BENCH_ITERS", 2))
-# recorded round-1 single-chip number; update as perf improves
-REFERENCE_VALUE = float(os.environ.get("BENCH_BASELINE", 0.0))
+# round-1 recorded value of the SAME isothermal config on 1 TPU chip
+# (BENCH_r01.json / BASELINE.md "Measured"): vs_baseline tracks our own
+# progression because the reference publishes no numbers
+REFERENCE_VALUE = float(os.environ.get("BENCH_BASELINE", 68696824.6))
 
 
-def main():
+def _bench_one(isothermal: bool):
     import jax
     import jax.numpy as jnp
 
     from c2ray_tpu import constants as const
+    from c2ray_tpu.cooling import setup_cooling_tables
     from c2ray_tpu.radiation import BlackBodySED, SEDConfig
     from c2ray_tpu.radiation.quadrature import build_quadrature_tables
     from c2ray_tpu.state import initial_grid_state
@@ -44,12 +47,13 @@ def main():
 
     tables, sed, bands = build_quadrature_tables(
         SEDConfig(bb=BlackBodySED(T_eff=5e4, S_star=3e51)),
-        isothermal=True, dtype=dtype)
+        isothermal=isothermal, dtype=dtype)
     dr = 50.0 * const.kpc / MESH
     sweep_cfg = SweepConfig(tables=tables, mesh=MESH, dr=dr,
-                            isothermal=True,
+                            isothermal=isothermal,
                             flux_scale=bands.flux_scale)
-    chem_cfg = ChemistryConfig(cooling=None, isothermal=True,
+    cooling = None if isothermal else setup_cooling_tables(dtype=dtype)
+    chem_cfg = ChemistryConfig(cooling=cooling, isothermal=isothermal,
                                isothermal_temperature=1.0e4)
     shells = build_shell_table(MESH)
     cfg = Evolve3DConfig(sweep=sweep_cfg, chem=chem_cfg, shells=shells)
@@ -66,18 +70,24 @@ def main():
     dt = jnp.asarray(1.0e14, dtype=dtype)
 
     # warm-up / compile
-    state1, conv, _ = iteration(state, srcpos, nflux, dt)
+    state1, conv, _, _ = iteration(state, srcpos, nflux, dt)
     jax.block_until_ready(state1.h_av1)
 
     t0 = time.perf_counter()
     s = state
     for _ in range(N_ITER):
-        s, conv, _ = iteration(s, srcpos, nflux, dt)
+        s, conv, _, _ = iteration(s, srcpos, nflux, dt)
     jax.block_until_ready(s.h_av1)
     elapsed = time.perf_counter() - t0
 
     updates = MESH**3 * N_SRC * N_ITER
-    rate = updates / elapsed
+    return updates / elapsed
+
+
+def main():
+    rate = _bench_one(isothermal=True)
+    heating_rate = (0.0 if os.environ.get("BENCH_SKIP_HEATING")
+                    else _bench_one(isothermal=False))
 
     vs_baseline = rate / REFERENCE_VALUE if REFERENCE_VALUE > 0 else 1.0
     print(json.dumps({
@@ -85,6 +95,9 @@ def main():
         "value": rate,
         "unit": "cell-source-updates/s",
         "vs_baseline": vs_baseline,
+        "heating_value": heating_rate,
+        "heating_metric": ("cell-source-updates/s, non-isothermal "
+                           "(47-band heating + sub-cycled thermal)"),
     }))
 
 

@@ -39,7 +39,13 @@ from .sed import (SEDConfig, blackbody_photon_density, normalize_seds,
 # a 64-node reference across tau in [1e-8, 1e7] -- below f32 resolution
 # and far below the reference table's linear-interpolation error, at
 # half the exp cost of 16 nodes (the sweep's dominant VPU work)
-DEFAULT_NODES = 8
+DEFAULT_NODES = "auto"
+
+# error budget for the "auto" per-band node counts: max relative error
+# of the band photon/heat integrals vs a 48-node reference, over
+# tau in [1e-8, 1e7].  1e-6 sits below f32 resolution of the summed
+# rate and far below the reference table's interpolation error.
+AUTO_NODE_TOL = 1.0e-6
 
 
 class SourceQuad(NamedTuple):
@@ -58,6 +64,37 @@ class SourceQuad(NamedTuple):
     A_heat_HI: Optional[jnp.ndarray]
     A_heat_HeI: Optional[jnp.ndarray]
     A_heat_HeII: Optional[jnp.ndarray]
+
+
+class SourceQuadPacked(NamedTuple):
+    """Adaptive-node quadrature for one source type, flattened to one
+    term axis T = sum_b K_b (error-budgeted K_b per sub-band: narrow
+    He sub-bands need 3 nodes where the wide HI band needs 12, cutting
+    the exp count ~2x vs a fixed rule; the integrands are the
+    reference's, radiation_tables.f90:593-783).
+
+    The per-band reduction is a static 0/1 selection matrix `seg`
+    applied as a (cells, T) @ (T, nlive) matmul -- MXU work that is
+    free next to the VPU exponentials.  The exp argument is evaluated
+    per term from premultiplied coefficients
+    c_s = sigma_s(band) * sigma_hat(term), so
+    arg = cd_HI c_HI + cd_HeI c_HeI + cd_HeII c_HeII.
+    """
+
+    band_lo: int
+    band_hi: int
+    c_HI: jnp.ndarray        # (T,) exp-argument coefficients
+    c_HeI: jnp.ndarray
+    c_HeII: jnp.ndarray
+    A_photo: jnp.ndarray     # (T,)
+    A_sig: jnp.ndarray       # A_photo * sigma_hat (thin branch)
+    seg: jnp.ndarray         # (T, nlive) 0/1 band-selection matrix
+    A_heat_HI: Optional[jnp.ndarray]
+    A_heat_HeI: Optional[jnp.ndarray]
+    A_heat_HeII: Optional[jnp.ndarray]
+    A_heat_sig_HI: Optional[jnp.ndarray]
+    A_heat_sig_HeI: Optional[jnp.ndarray]
+    A_heat_sig_HeII: Optional[jnp.ndarray]
 
 
 class QuadTables(NamedTuple):
@@ -133,6 +170,109 @@ def _band_quadrature(bands: Bands, sed_fn, band_lo, band_hi, isothermal,
     )
 
 
+def _band_node_data(bands, b):
+    lo, hi = bands.freq_min[b], bands.freq_max[b]
+    if b < bands.nbnd1:
+        pli = bands.pli_HI[b]
+        species = (0,)
+    elif b < bands.nbnd1 + bands.nbnd2:
+        pli = bands.pli_HeI[b]
+        species = (0, 1)
+    else:
+        pli = bands.pli_HeII[b]
+        species = (0, 1, 2)
+    return lo, hi, pli, species
+
+
+def _band_nodes_auto(bands, sed_fn, b, tol):
+    """Smallest Gauss-Legendre count whose band photon/thin/heat
+    integrals match a 48-node reference within `tol` over
+    tau in [1e-8, 1e7] (error-budgeted node reduction)."""
+    lo, hi, pli, _ = _band_node_data(bands, b)
+    taus = np.logspace(-8.0, 7.0, 40)
+
+    def integrals(K):
+        xk, wk = np.polynomial.legendre.leggauss(K)
+        nu = 0.5 * (hi - lo) * xk + 0.5 * (hi + lo)
+        w = 0.5 * (hi - lo) * wk
+        sh = (nu / lo) ** (-pli)
+        A = w * sed_fn(nu)
+        E = np.exp(-np.minimum(taus[:, None] * sh[None, :], 80.0))
+        G = (A * E).sum(1)
+        Gt = (A * sh * E).sum(1)
+        H = (A * (nu - lo) * E).sum(1)
+        return G, Gt, H
+
+    ref = integrals(48)
+    for k in (2, 3, 4, 5, 6, 8, 12, 16, 24, 32):
+        got = integrals(k)
+        ok = True
+        for g, r in zip(got, ref):
+            scale = np.abs(r).max()
+            if scale == 0.0:
+                continue
+            m = np.abs(r) > scale * 1e-12
+            if m.any() and np.max(
+                    np.abs(g[m] - r[m]) / np.abs(r[m])) >= tol:
+                ok = False
+                break
+        if ok:
+            return k
+    return 48
+
+
+def _band_quadrature_packed(bands: Bands, sed_fn, band_lo, band_hi,
+                            isothermal, tol, dtype) -> SourceQuadPacked:
+    """Adaptive-node packed quadrature (see SourceQuadPacked)."""
+    thresholds = (const.ion_freq_HI, const.ion_freq_HeI,
+                  const.ion_freq_HeII)
+    nb = bands.nbands
+    lo_b, hi_b = int(band_lo), int(min(band_hi, nb - 1))
+    nlive = hi_b - lo_b + 1
+
+    cols = {k: [] for k in ("c_HI", "c_HeI", "c_HeII", "A_photo",
+                            "A_sig", "Ah0", "Ah1", "Ah2",
+                            "Ahs0", "Ahs1", "Ahs2")}
+    band_of_term = []
+    for b in range(lo_b, hi_b + 1):
+        lo, hi, pli, species = _band_node_data(bands, b)
+        K = _band_nodes_auto(bands, sed_fn, b, tol)
+        xk, wk = np.polynomial.legendre.leggauss(K)
+        nu = 0.5 * (hi - lo) * xk + 0.5 * (hi + lo)
+        w = 0.5 * (hi - lo) * wk
+        sh = (nu / lo) ** (-pli)
+        A = w * sed_fn(nu)
+        cols["c_HI"].append(bands.sigma_HI[b] * sh)
+        cols["c_HeI"].append(bands.sigma_HeI[b] * sh)
+        cols["c_HeII"].append(bands.sigma_HeII[b] * sh)
+        cols["A_photo"].append(A)
+        cols["A_sig"].append(A * sh)
+        for s in range(3):
+            Ah = (A * const.hplanck * (nu - thresholds[s])
+                  if (not isothermal and s in species)
+                  else np.zeros(K))
+            cols[f"Ah{s}"].append(Ah)
+            cols[f"Ahs{s}"].append(Ah * sh)
+        band_of_term.extend([b - lo_b] * K)
+
+    T = len(band_of_term)
+    seg = np.zeros((T, nlive))
+    seg[np.arange(T), band_of_term] = 1.0
+    cat = lambda k: jnp.asarray(np.concatenate(cols[k]), dtype=dtype)
+    return SourceQuadPacked(
+        band_lo=lo_b, band_hi=hi_b,
+        c_HI=cat("c_HI"), c_HeI=cat("c_HeI"), c_HeII=cat("c_HeII"),
+        A_photo=cat("A_photo"), A_sig=cat("A_sig"),
+        seg=jnp.asarray(seg, dtype=dtype),
+        A_heat_HI=None if isothermal else cat("Ah0"),
+        A_heat_HeI=None if isothermal else cat("Ah1"),
+        A_heat_HeII=None if isothermal else cat("Ah2"),
+        A_heat_sig_HI=None if isothermal else cat("Ahs0"),
+        A_heat_sig_HeI=None if isothermal else cat("Ahs1"),
+        A_heat_sig_HeII=None if isothermal else cat("Ahs2"),
+    )
+
+
 def build_quadrature_tables(sed: SEDConfig, bands: Optional[Bands] = None, *,
                             isothermal=False, dtype=jnp.float32,
                             n_nodes: int = DEFAULT_NODES,
@@ -159,27 +299,30 @@ def build_quadrature_tables(sed: SEDConfig, bands: Optional[Bands] = None, *,
                              if s is not None)
     inv = 1.0 / flux_scale
 
+    if n_nodes == "auto":
+        build = lambda fn, lo, hi: _band_quadrature_packed(
+            bands, fn, lo, hi, isothermal, AUTO_NODE_TOL, dtype)
+    else:
+        build = lambda fn, lo, hi: _band_quadrature(
+            bands, fn, lo, hi, isothermal, n_nodes, dtype)
+
     bb = pl = qso = None
     if sed.bb is not None:
         lo, hi = _bb_band_limits(bands, sed.bb.h_over_kT)
         R2 = sed.bb.R_star**2
-        bb = _band_quadrature(
-            bands,
+        bb = build(
             lambda f: inv * 4.0 * const.pi * R2
-            * blackbody_photon_density(f, sed.bb.h_over_kT),
-            lo, hi, isothermal, n_nodes, dtype)
+            * blackbody_photon_density(f, sed.bb.h_over_kT), lo, hi)
     if sed.pl is not None:
         lo, hi = _pl_band_limits(bands, sed.pl.min_freq, sed.pl.max_freq)
-        pl = _band_quadrature(
-            bands, lambda f: inv * sed.pl.scaling
-            * powerlaw_photon_density(f, sed.pl.index),
-            lo, hi, isothermal, n_nodes, dtype)
+        pl = build(
+            lambda f: inv * sed.pl.scaling
+            * powerlaw_photon_density(f, sed.pl.index), lo, hi)
     if sed.qso is not None:
         lo, hi = _pl_band_limits(bands, sed.qso.min_freq, sed.qso.max_freq)
-        qso = _band_quadrature(
-            bands, lambda f: inv * sed.qso.scaling
-            * powerlaw_photon_density(f, sed.qso.index),
-            lo, hi, isothermal, n_nodes, dtype)
+        qso = build(
+            lambda f: inv * sed.qso.scaling
+            * powerlaw_photon_density(f, sed.qso.index), lo, hi)
 
     nb = bands.nbands
     n1, n2 = bands.nbnd1, bands.nbnd2
@@ -322,6 +465,123 @@ def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux,
         photo_in=out.photo_in, photo_out=out.photo_out)
 
 
+def _one_source_quad_packed(qt: QuadTables, sq: SourceQuadPacked, nflux,
+                            cd_in_HI, cd_out_HI, cd_in_HeI, cd_out_HeI,
+                            cd_in_HeII, cd_out_HeII,
+                            vol, i_state, do_heating) -> PhotRates:
+    """Packed adaptive-node variant of `_one_source_quad`: the exps run
+    over the flattened term axis (VPU), the per-band reduction is one
+    (cells, T) @ (T, nlive) matmul (MXU)."""
+    sl = slice(sq.band_lo, sq.band_hi + 1)
+    dtype = cd_in_HI.dtype
+    sig_HI = qt.sigma_HI[sl]
+    sig_HeI = qt.sigma_HeI[sl]
+    sig_HeII = qt.sigma_HeII[sl]
+    mask_HeI = qt.mask_HeI[sl]
+    mask_HeII = qt.mask_HeII[sl]
+
+    # per-band cell optical depths + the tau-weighted species split
+    # (scale_int2/3, radiation_photoionrates.f90:787-823)
+    tau_in = (cd_in_HI[..., None] * sig_HI
+              + cd_in_HeI[..., None] * sig_HeI
+              + cd_in_HeII[..., None] * sig_HeII)
+    tau_out = (cd_out_HI[..., None] * sig_HI
+               + cd_out_HeI[..., None] * sig_HeI
+               + cd_out_HeII[..., None] * sig_HeII)
+    tau_cell_HI = sig_HI * (cd_out_HI - cd_in_HI)[..., None]
+    tau_cell_HeI = sig_HeI * (cd_out_HeI - cd_in_HeI)[..., None]
+    tau_cell_HeII = sig_HeII * (cd_out_HeII - cd_in_HeII)[..., None]
+    denom = tau_cell_HI + tau_cell_HeI + tau_cell_HeII
+    inv = 1.0 / jnp.maximum(denom, jnp.finfo(dtype).tiny)
+    scaling_HI = tau_cell_HI * inv
+    scaling_HeI = tau_cell_HeI * inv
+    scaling_HeII = tau_cell_HeII * inv
+
+    # the exponential terms (the dominant VPU work)
+    arg_in = (cd_in_HI[..., None] * sq.c_HI
+              + cd_in_HeI[..., None] * sq.c_HeI
+              + cd_in_HeII[..., None] * sq.c_HeII)
+    arg_out = (cd_out_HI[..., None] * sq.c_HI
+               + cd_out_HeI[..., None] * sq.c_HeI
+               + cd_out_HeII[..., None] * sq.c_HeII)
+    E_in = jnp.exp(-jnp.minimum(arg_in, 80.0))
+    E_out = jnp.exp(-jnp.minimum(arg_out, 80.0))
+    E_diff = E_in - E_out
+
+    bsum = lambda x: x @ sq.seg     # (.., T) -> (.., nlive)
+
+    nfl = nflux[..., None]
+    volk = vol[..., None]
+    dtau = tau_out - tau_in
+
+    phi_in = nfl * bsum(sq.A_photo * E_in)
+    thick = jnp.abs(dtau) > TAU_PHOTO_LIMIT
+    phi_all_thick = nfl * bsum(sq.A_photo * E_diff)
+    phi_all_thin = nfl * dtau * bsum(sq.A_sig * E_in)
+    phi_all = jnp.where(thick, phi_all_thick, phi_all_thin)
+    phi_out = phi_in - phi_all
+
+    photo_cell_HI = (scaling_HI * phi_all / volk).sum(-1)
+    photo_cell_HeI = (mask_HeI * scaling_HeI * phi_all / volk).sum(-1)
+    photo_cell_HeII = (mask_HeII * scaling_HeII * phi_all / volk).sum(-1)
+
+    z = jnp.zeros_like(photo_cell_HI)
+    out = PhotRates(
+        photo_cell_HI=photo_cell_HI, photo_cell_HeI=photo_cell_HeI,
+        photo_cell_HeII=photo_cell_HeII, heat=z,
+        photo_in=phi_in.sum(-1), photo_out=phi_out.sum(-1))
+
+    if not do_heating or sq.A_heat_HI is None:
+        return out
+
+    hthick = jnp.abs(dtau) > TAU_HEAT_LIMIT
+
+    def species_heat(A, A_sig, tau_cell, scaling, mask):
+        ph_thick = scaling * nfl * bsum(A * E_diff) / volk
+        ph_thin = nfl * tau_cell * bsum(A_sig * E_in) / volk
+        return mask * jnp.where(hthick, ph_thick, ph_thin)
+
+    one = jnp.ones_like(mask_HeI)
+    ph_HI = species_heat(sq.A_heat_HI, sq.A_heat_sig_HI,
+                         tau_cell_HI, scaling_HI, one)
+    ph_HeI = species_heat(sq.A_heat_HeI, sq.A_heat_sig_HeI,
+                          tau_cell_HeI, scaling_HeI, mask_HeI)
+    ph_HeII = species_heat(sq.A_heat_HeII, sq.A_heat_sig_HeII,
+                           tau_cell_HeII, scaling_HeII, mask_HeII)
+
+    df_heat = ph_HI + ph_HeI + ph_HeII
+    x = i_state[..., None]
+
+    def y1R(i):
+        return _CR1[i] * (1.0 - x ** _BR1[i]) ** _DR1[i]
+
+    def y2R(i):
+        xeb = 1.0 - x ** _BR2[i]
+        return _CR2[i] * x ** _AR2[i] * xeb * xeb
+
+    fra1 = (qt.f1ion_HI[sl] * ph_HI + qt.f1ion_HeI[sl] * ph_HeI
+            + qt.f1ion_HeII[sl] * ph_HeII)
+    fra2 = (qt.f2ion_HI[sl] * ph_HI + qt.f2ion_HeI[sl] * ph_HeI
+            + qt.f2ion_HeII[sl] * ph_HeII)
+    fra3 = (qt.f1heat_HI[sl] * ph_HI + qt.f1heat_HeI[sl] * ph_HeI
+            + qt.f1heat_HeII[sl] * ph_HeII)
+    fra4 = (qt.f2heat_HI[sl] * ph_HI + qt.f2heat_HeI[sl] * ph_HeI
+            + qt.f2heat_HeII[sl] * ph_HeII)
+
+    f_heat = (df_heat - y1R(2) * fra3 + y2R(2) * fra4).sum(-1)
+    f_ion_HI = (y1R(0) * fra1 - y2R(0) * fra2).sum(-1)
+    f_ion_HeI = (y1R(1) * fra1 - y2R(1) * fra2).sum(-1)
+
+    return PhotRates(
+        photo_cell_HI=out.photo_cell_HI
+        + f_ion_HI / (const.ion_freq_HI * const.hplanck),
+        photo_cell_HeI=out.photo_cell_HeI
+        + f_ion_HeI / (const.ion_freq_HeI * const.hplanck),
+        photo_cell_HeII=out.photo_cell_HeII,
+        heat=f_heat,
+        photo_in=out.photo_in, photo_out=out.photo_out)
+
+
 def photoion_rates_quad(
     qt: QuadTables,
     colum_in_HI, colum_out_HI,
@@ -347,7 +607,9 @@ def photoion_rates_quad(
         if sq is None or nflux is None:
             continue
         nflux = jnp.broadcast_to(jnp.asarray(nflux, dtype=dtype), shape)
-        phi = phi + _one_source_quad(
+        fn = (_one_source_quad_packed
+              if isinstance(sq, SourceQuadPacked) else _one_source_quad)
+        phi = phi + fn(
             qt, sq, nflux,
             cd_in_HI, colum_out_HI, colum_in_HeI, colum_out_HeI,
             colum_in_HeII, colum_out_HeII, vol, i_state, do_heating)
