@@ -92,6 +92,14 @@ class Run3DConfig:
     # randomize source order per slice (ctrper, sourceprops_test.F90:
     # 205-210) -- order only matters for float reduction noise here
     randomize_sources: bool = False
+    # --- multi-chip execution (SURVEY.md section 2.5)
+    # None: single chip.  "source": source-parallel over a replicated
+    # grid (the reference's MPI model, master_slave.F90 + psum).
+    # "domain": grid sharded into x-slabs with boundary exchange
+    # (parallel/domain.py) -- per-device memory mesh^3/D.
+    parallel: Optional[str] = None
+    # devices to use (None = all of jax.devices())
+    n_devices: Optional[int] = None
 
 
 class PhotonConservationError(RuntimeError):
@@ -163,6 +171,21 @@ class Run3D:
         shells = build_shell_table(c.mesh, c.max_subbox)
         self.evolve_cfg = Evolve3DConfig(sweep=sweep_cfg, chem=chem_cfg,
                                          shells=shells)
+        # multi-chip execution (config.parallel): build the device mesh
+        # once; "source" replicates the grid (the reference's MPI
+        # model), "domain" shards it into x-slabs (parallel/domain.py)
+        self.pconfig = None
+        if c.parallel:
+            import jax
+            from jax.sharding import Mesh
+            from .parallel import ParallelConfig
+
+            nd = c.n_devices or len(jax.devices())
+            self.device_mesh = Mesh(np.array(jax.devices()[:nd]),
+                                    ("d",))
+            self.pconfig = ParallelConfig(cfg=self.evolve_cfg,
+                                          mesh=self.device_mesh)
+
         # per-radius jitted iterations, cached for the whole run so the
         # adaptive subbox (evolve_source.F90:114-144) compiles each
         # size once
@@ -300,18 +323,34 @@ class Run3D:
             before = species_inventory(self.state, vol_now)
             ccf = (self.clock.cosmo_cool_factor()
                    if (c.cosmological and not c.isothermal) else None)
-            self.state, stats = evolve3d(
-                self.evolve_cfg, self.state, srcpos, nflux, dt,
-                dr=float(self.dr_proper),
-                cosmo_cool_factor=ccf,
-                iteration_cache=self._iteration_cache,
-                initial_radius=self._subbox_radius,
-                lls_grid=self._current_lls_grid(),
-                # mid-iteration checkpoints on the reference's 15-min
-                # wall clock (evolve.F90:199-212)
-                dump_dir=c.dump_dir,
-                dump_interval_s=c.dump_interval_s,
-                start_from_dump=(start_from_dump and step == 0))
+            common = dict(dr=float(self.dr_proper),
+                          cosmo_cool_factor=ccf,
+                          iteration_cache=self._iteration_cache,
+                          initial_radius=self._subbox_radius,
+                          lls_grid=self._current_lls_grid())
+            if c.parallel == "domain":
+                from .parallel import domain_evolve3d, shard_state_slabs
+
+                self.state = shard_state_slabs(self.state,
+                                               self.device_mesh)
+                self.state, stats = domain_evolve3d(
+                    self.pconfig, self.state, np.asarray(srcpos),
+                    np.asarray(nflux), dt, **common)
+            elif c.parallel == "source":
+                from .parallel import parallel_evolve3d
+
+                self.state, stats = parallel_evolve3d(
+                    self.pconfig, self.state, srcpos, nflux, dt,
+                    **common)
+            else:
+                self.state, stats = evolve3d(
+                    self.evolve_cfg, self.state, srcpos, nflux, dt,
+                    # mid-iteration checkpoints on the reference's
+                    # 15-min wall clock (evolve.F90:199-212)
+                    dump_dir=c.dump_dir,
+                    dump_interval_s=c.dump_interval_s,
+                    start_from_dump=(start_from_dump and step == 0),
+                    **common)
             if stats.subbox_radius:
                 self._subbox_radius = stats.subbox_radius
             self.time = t1 + (step + 1) * dt

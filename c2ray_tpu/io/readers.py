@@ -83,3 +83,13 @@ def read_halo_catalog(nbody: NBodyInterface, z, path=None,
     return HaloCatalog(pos=arr[:, :3].astype(np.int32) - 1,
                        mass_hmach=arr[:, 3], mass_lmach=arr[:, 4],
                        qso_lum=qso)
+
+
+def read_compressed_ion_cube(path, markers=True) -> np.ndarray:
+    """Read an `xh_compr_<z>.bin` sign-coded H ionization cube back to
+    the ionized fraction (the _compr family's snapshot format,
+    mat_ini_cubep3m_compr.F90:454-471)."""
+    from ..material import ionized_from_compr
+
+    a = read_unformatted_cube(path, dtype=np.float64, markers=markers)
+    return ionized_from_compr(a)

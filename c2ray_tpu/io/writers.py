@@ -37,6 +37,11 @@ class OutputStreams:
     temper_rate_cubes: bool = False  # stream 3
     midplane_cuts: bool = False   # stream 4
     density_cuts: bool = False    # stream 5
+    # H-only sign-coded single-value ionization cube `xh_compr_<z>.bin`
+    # (the _compr output family, output_compr.F90; codec in
+    # material.compress_ionized_fraction): halves snapshot bytes for
+    # >=512^3 meshes while keeping full precision in the small fraction
+    compressed_ion: bool = False
 
 
 @dataclass
@@ -85,6 +90,13 @@ class OutputWriter:
                                    xhe[..., 1], dtype=np.float64)
             write_unformatted_cube(self._path("xfrac3dHe2_", z, ".bin"),
                                    xhe[..., 2], dtype=np.float64)
+
+        if self.streams.compressed_ion:
+            from ..material import compress_ionized_fraction
+
+            write_unformatted_cube(
+                self._path("xh_compr_", z, ".bin"),
+                compress_ionized_fraction(xh[..., 1]), dtype=np.float64)
 
         if self.streams.temper_rate_cubes:
             if temperature is not None:

@@ -82,15 +82,13 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
     full_extent = cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1)
     engine = getattr(cfg, "engine", "pyramid") if full_extent else "shells"
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(AXIS), P(AXIS), P(), P()),
-             out_specs=P())
-    def sweep_shard(fields: SourceFields, srcpos, nflux, dr,
-                    vol_over_scale) -> RateGrids:
+    def _sweep(fields: SourceFields, srcpos, nflux, dr,
+               vol_over_scale, lls_grid) -> RateGrids:
         if engine == "pyramid":
             rates = sweep_pyramid_source_batch(
                 cfg.sweep, fields, srcpos, nflux, radius=radius,
-                dr=dr, vol_over_scale=vol_over_scale)
+                dr=dr, vol_over_scale=vol_over_scale,
+                lls_grid=lls_grid)
         elif engine == "octant":
             rates = sweep_octant_source_batch(cfg.sweep, fields,
                                               srcpos, nflux)
@@ -99,6 +97,16 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
                                              fields, srcpos, nflux)
         # the reference's MPI_ALLREDUCE(SUM) (evolve.F90:505-548)
         return jax.tree.map(lambda x: jax.lax.psum(x, AXIS), rates)
+
+    def _sweep_shard(with_lls):
+        return partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(AXIS), P(AXIS), P(), P(),
+                      P() if with_lls else None),
+            out_specs=P())(_sweep)
+
+    sweep_plain = _sweep_shard(False)
+    sweep_lls = _sweep_shard(True)
 
     rates_spec = RateGrids(phih=P(AXIS), phihe0=P(AXIS), phihe1=P(AXIS),
                            phiheat=P(AXIS), photon_loss=P(),
@@ -115,7 +123,8 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
 
     @jax.jit
     def iteration(state: GridState, srcpos, nflux, dt, dr=None,
-                  vol_over_scale=None, cosmo_cool_factor=None):
+                  vol_over_scale=None, cosmo_cool_factor=None,
+                  lls_grid=None):
         dtype = state.ndens.dtype
         if dr is None:
             dr = jnp.asarray(cfg.sweep.dr, dtype=dtype)
@@ -129,7 +138,9 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
             h_av0=state.h_av0, h_av1=state.h_av1,
             he_av0=state.he_av0, he_av1=state.he_av1,
         )
-        rates = sweep_shard(fields, srcpos, nflux, dr, vol_over_scale)
+        sweep_fn = sweep_plain if lls_grid is None else sweep_lls
+        rates = sweep_fn(fields, srcpos, nflux, dr, vol_over_scale,
+                         lls_grid)
         # clumping may be a scalar; broadcast so the cell axis shards
         st = state
         if st.clumping.ndim == 0:
@@ -146,7 +157,7 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
 def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                       nflux, dt, iteration_fn=None, dr=None,
                       cosmo_cool_factor=None, iteration_cache=None,
-                      initial_radius=None):
+                      initial_radius=None, lls_grid=None):
     """Sharded evolve3D: same convergence protocol as the single-chip
     path (evolve.F90:147-181), including the adaptive expanding subbox
     (evolve_source.F90:114-144) and traced per-step `dr` /
@@ -211,6 +222,8 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
         if cosmo_cool_factor is not None:
             kw["cosmo_cool_factor"] = jnp.asarray(
                 float(cosmo_cool_factor))
+        if lls_grid is not None:
+            kw["lls_grid"] = lls_grid
         if adaptive:
             while True:
                 out = iteration_at(radii[r_idx])(state, srcpos, nflux,

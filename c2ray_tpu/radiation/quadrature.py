@@ -66,37 +66,6 @@ class SourceQuad(NamedTuple):
     A_heat_HeII: Optional[jnp.ndarray]
 
 
-class SourceQuadPacked(NamedTuple):
-    """Adaptive-node quadrature for one source type, flattened to one
-    term axis T = sum_b K_b (error-budgeted K_b per sub-band: narrow
-    He sub-bands need 3 nodes where the wide HI band needs 12, cutting
-    the exp count ~2x vs a fixed rule; the integrands are the
-    reference's, radiation_tables.f90:593-783).
-
-    The per-band reduction is a static 0/1 selection matrix `seg`
-    applied as a (cells, T) @ (T, nlive) matmul -- MXU work that is
-    free next to the VPU exponentials.  The exp argument is evaluated
-    per term from premultiplied coefficients
-    c_s = sigma_s(band) * sigma_hat(term), so
-    arg = cd_HI c_HI + cd_HeI c_HeI + cd_HeII c_HeII.
-    """
-
-    band_lo: int
-    band_hi: int
-    c_HI: jnp.ndarray        # (T,) exp-argument coefficients
-    c_HeI: jnp.ndarray
-    c_HeII: jnp.ndarray
-    A_photo: jnp.ndarray     # (T,)
-    A_sig: jnp.ndarray       # A_photo * sigma_hat (thin branch)
-    seg: jnp.ndarray         # (T, nlive) 0/1 band-selection matrix
-    A_heat_HI: Optional[jnp.ndarray]
-    A_heat_HeI: Optional[jnp.ndarray]
-    A_heat_HeII: Optional[jnp.ndarray]
-    A_heat_sig_HI: Optional[jnp.ndarray]
-    A_heat_sig_HeI: Optional[jnp.ndarray]
-    A_heat_sig_HeII: Optional[jnp.ndarray]
-
-
 class QuadTables(NamedTuple):
     """Everything the gather-free rate evaluation needs."""
 
@@ -221,56 +190,46 @@ def _band_nodes_auto(bands, sed_fn, b, tol):
     return 48
 
 
-def _band_quadrature_packed(bands: Bands, sed_fn, band_lo, band_hi,
-                            isothermal, tol, dtype) -> SourceQuadPacked:
-    """Adaptive-node packed quadrature (see SourceQuadPacked)."""
-    thresholds = (const.ion_freq_HI, const.ion_freq_HeI,
-                  const.ion_freq_HeII)
+def _band_quadrature_blocks(bands: Bands, sed_fn, band_lo, band_hi,
+                            isothermal, tol, dtype):
+    """Error-budgeted adaptive node counts, as a tuple of uniform-K
+    band blocks.
+
+    The exp count is the sweep's VPU roof; narrow He sub-bands need 3
+    Gauss-Legendre nodes where the wide HI band needs 12 (offline
+    budget vs a 48-node reference), cutting the work ~2x vs the fixed
+    8-node rule.  Bands are grouped into contiguous runs of equal K so
+    each block keeps the dense (nb_block, K) layout whose
+    exp->multiply->sum chain XLA fuses into one VPU pass (a flattened
+    term axis with a segment-sum matmul measured ~2.4x SLOWER: the
+    matmul broke the fusion and materialized the term tensors).
+    """
     nb = bands.nbands
     lo_b, hi_b = int(band_lo), int(min(band_hi, nb - 1))
-    nlive = hi_b - lo_b + 1
-
-    cols = {k: [] for k in ("c_HI", "c_HeI", "c_HeII", "A_photo",
-                            "A_sig", "Ah0", "Ah1", "Ah2",
-                            "Ahs0", "Ahs1", "Ahs2")}
-    band_of_term = []
-    for b in range(lo_b, hi_b + 1):
-        lo, hi, pli, species = _band_node_data(bands, b)
-        K = _band_nodes_auto(bands, sed_fn, b, tol)
-        xk, wk = np.polynomial.legendre.leggauss(K)
-        nu = 0.5 * (hi - lo) * xk + 0.5 * (hi + lo)
-        w = 0.5 * (hi - lo) * wk
-        sh = (nu / lo) ** (-pli)
-        A = w * sed_fn(nu)
-        cols["c_HI"].append(bands.sigma_HI[b] * sh)
-        cols["c_HeI"].append(bands.sigma_HeI[b] * sh)
-        cols["c_HeII"].append(bands.sigma_HeII[b] * sh)
-        cols["A_photo"].append(A)
-        cols["A_sig"].append(A * sh)
-        for s in range(3):
-            Ah = (A * const.hplanck * (nu - thresholds[s])
-                  if (not isothermal and s in species)
-                  else np.zeros(K))
-            cols[f"Ah{s}"].append(Ah)
-            cols[f"Ahs{s}"].append(Ah * sh)
-        band_of_term.extend([b - lo_b] * K)
-
-    T = len(band_of_term)
-    seg = np.zeros((T, nlive))
-    seg[np.arange(T), band_of_term] = 1.0
-    cat = lambda k: jnp.asarray(np.concatenate(cols[k]), dtype=dtype)
-    return SourceQuadPacked(
-        band_lo=lo_b, band_hi=hi_b,
-        c_HI=cat("c_HI"), c_HeI=cat("c_HeI"), c_HeII=cat("c_HeII"),
-        A_photo=cat("A_photo"), A_sig=cat("A_sig"),
-        seg=jnp.asarray(seg, dtype=dtype),
-        A_heat_HI=None if isothermal else cat("Ah0"),
-        A_heat_HeI=None if isothermal else cat("Ah1"),
-        A_heat_HeII=None if isothermal else cat("Ah2"),
-        A_heat_sig_HI=None if isothermal else cat("Ahs0"),
-        A_heat_sig_HeI=None if isothermal else cat("Ahs1"),
-        A_heat_sig_HeII=None if isothermal else cat("Ahs2"),
-    )
+    ks = [_band_nodes_auto(bands, sed_fn, b, tol)
+          for b in range(lo_b, hi_b + 1)]
+    blocks = []
+    start = lo_b
+    for i in range(1, len(ks) + 1):
+        if i == len(ks) or ks[i] != ks[i - 1]:
+            blocks.append((start, lo_b + i - 1, ks[i - 1]))
+            start = lo_b + i
+    # merge single-band runs into the cheaper adjacent run to bound the
+    # block count (each block is one fused XLA region)
+    merged = []
+    for blo, bhi, k in blocks:
+        if merged and (bhi - blo < 1 or merged[-1][1] - merged[-1][0] < 1):
+            plo, phi_, pk = merged[-1]
+            cost_sep = (phi_ - plo + 1) * pk + (bhi - blo + 1) * k
+            kM = max(pk, k)
+            cost_merged = (bhi - plo + 1) * kM
+            if cost_merged <= 1.25 * cost_sep:
+                merged[-1] = (plo, bhi, kM)
+                continue
+        merged.append((blo, bhi, k))
+    return tuple(_band_quadrature(bands, sed_fn, blo, bhi, isothermal,
+                                  k, dtype)
+                 for blo, bhi, k in merged)
 
 
 def build_quadrature_tables(sed: SEDConfig, bands: Optional[Bands] = None, *,
@@ -300,7 +259,7 @@ def build_quadrature_tables(sed: SEDConfig, bands: Optional[Bands] = None, *,
     inv = 1.0 / flux_scale
 
     if n_nodes == "auto":
-        build = lambda fn, lo, hi: _band_quadrature_packed(
+        build = lambda fn, lo, hi: _band_quadrature_blocks(
             bands, fn, lo, hi, isothermal, AUTO_NODE_TOL, dtype)
     else:
         build = lambda fn, lo, hi: _band_quadrature(
@@ -465,123 +424,6 @@ def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux,
         photo_in=out.photo_in, photo_out=out.photo_out)
 
 
-def _one_source_quad_packed(qt: QuadTables, sq: SourceQuadPacked, nflux,
-                            cd_in_HI, cd_out_HI, cd_in_HeI, cd_out_HeI,
-                            cd_in_HeII, cd_out_HeII,
-                            vol, i_state, do_heating) -> PhotRates:
-    """Packed adaptive-node variant of `_one_source_quad`: the exps run
-    over the flattened term axis (VPU), the per-band reduction is one
-    (cells, T) @ (T, nlive) matmul (MXU)."""
-    sl = slice(sq.band_lo, sq.band_hi + 1)
-    dtype = cd_in_HI.dtype
-    sig_HI = qt.sigma_HI[sl]
-    sig_HeI = qt.sigma_HeI[sl]
-    sig_HeII = qt.sigma_HeII[sl]
-    mask_HeI = qt.mask_HeI[sl]
-    mask_HeII = qt.mask_HeII[sl]
-
-    # per-band cell optical depths + the tau-weighted species split
-    # (scale_int2/3, radiation_photoionrates.f90:787-823)
-    tau_in = (cd_in_HI[..., None] * sig_HI
-              + cd_in_HeI[..., None] * sig_HeI
-              + cd_in_HeII[..., None] * sig_HeII)
-    tau_out = (cd_out_HI[..., None] * sig_HI
-               + cd_out_HeI[..., None] * sig_HeI
-               + cd_out_HeII[..., None] * sig_HeII)
-    tau_cell_HI = sig_HI * (cd_out_HI - cd_in_HI)[..., None]
-    tau_cell_HeI = sig_HeI * (cd_out_HeI - cd_in_HeI)[..., None]
-    tau_cell_HeII = sig_HeII * (cd_out_HeII - cd_in_HeII)[..., None]
-    denom = tau_cell_HI + tau_cell_HeI + tau_cell_HeII
-    inv = 1.0 / jnp.maximum(denom, jnp.finfo(dtype).tiny)
-    scaling_HI = tau_cell_HI * inv
-    scaling_HeI = tau_cell_HeI * inv
-    scaling_HeII = tau_cell_HeII * inv
-
-    # the exponential terms (the dominant VPU work)
-    arg_in = (cd_in_HI[..., None] * sq.c_HI
-              + cd_in_HeI[..., None] * sq.c_HeI
-              + cd_in_HeII[..., None] * sq.c_HeII)
-    arg_out = (cd_out_HI[..., None] * sq.c_HI
-               + cd_out_HeI[..., None] * sq.c_HeI
-               + cd_out_HeII[..., None] * sq.c_HeII)
-    E_in = jnp.exp(-jnp.minimum(arg_in, 80.0))
-    E_out = jnp.exp(-jnp.minimum(arg_out, 80.0))
-    E_diff = E_in - E_out
-
-    bsum = lambda x: x @ sq.seg     # (.., T) -> (.., nlive)
-
-    nfl = nflux[..., None]
-    volk = vol[..., None]
-    dtau = tau_out - tau_in
-
-    phi_in = nfl * bsum(sq.A_photo * E_in)
-    thick = jnp.abs(dtau) > TAU_PHOTO_LIMIT
-    phi_all_thick = nfl * bsum(sq.A_photo * E_diff)
-    phi_all_thin = nfl * dtau * bsum(sq.A_sig * E_in)
-    phi_all = jnp.where(thick, phi_all_thick, phi_all_thin)
-    phi_out = phi_in - phi_all
-
-    photo_cell_HI = (scaling_HI * phi_all / volk).sum(-1)
-    photo_cell_HeI = (mask_HeI * scaling_HeI * phi_all / volk).sum(-1)
-    photo_cell_HeII = (mask_HeII * scaling_HeII * phi_all / volk).sum(-1)
-
-    z = jnp.zeros_like(photo_cell_HI)
-    out = PhotRates(
-        photo_cell_HI=photo_cell_HI, photo_cell_HeI=photo_cell_HeI,
-        photo_cell_HeII=photo_cell_HeII, heat=z,
-        photo_in=phi_in.sum(-1), photo_out=phi_out.sum(-1))
-
-    if not do_heating or sq.A_heat_HI is None:
-        return out
-
-    hthick = jnp.abs(dtau) > TAU_HEAT_LIMIT
-
-    def species_heat(A, A_sig, tau_cell, scaling, mask):
-        ph_thick = scaling * nfl * bsum(A * E_diff) / volk
-        ph_thin = nfl * tau_cell * bsum(A_sig * E_in) / volk
-        return mask * jnp.where(hthick, ph_thick, ph_thin)
-
-    one = jnp.ones_like(mask_HeI)
-    ph_HI = species_heat(sq.A_heat_HI, sq.A_heat_sig_HI,
-                         tau_cell_HI, scaling_HI, one)
-    ph_HeI = species_heat(sq.A_heat_HeI, sq.A_heat_sig_HeI,
-                          tau_cell_HeI, scaling_HeI, mask_HeI)
-    ph_HeII = species_heat(sq.A_heat_HeII, sq.A_heat_sig_HeII,
-                           tau_cell_HeII, scaling_HeII, mask_HeII)
-
-    df_heat = ph_HI + ph_HeI + ph_HeII
-    x = i_state[..., None]
-
-    def y1R(i):
-        return _CR1[i] * (1.0 - x ** _BR1[i]) ** _DR1[i]
-
-    def y2R(i):
-        xeb = 1.0 - x ** _BR2[i]
-        return _CR2[i] * x ** _AR2[i] * xeb * xeb
-
-    fra1 = (qt.f1ion_HI[sl] * ph_HI + qt.f1ion_HeI[sl] * ph_HeI
-            + qt.f1ion_HeII[sl] * ph_HeII)
-    fra2 = (qt.f2ion_HI[sl] * ph_HI + qt.f2ion_HeI[sl] * ph_HeI
-            + qt.f2ion_HeII[sl] * ph_HeII)
-    fra3 = (qt.f1heat_HI[sl] * ph_HI + qt.f1heat_HeI[sl] * ph_HeI
-            + qt.f1heat_HeII[sl] * ph_HeII)
-    fra4 = (qt.f2heat_HI[sl] * ph_HI + qt.f2heat_HeI[sl] * ph_HeI
-            + qt.f2heat_HeII[sl] * ph_HeII)
-
-    f_heat = (df_heat - y1R(2) * fra3 + y2R(2) * fra4).sum(-1)
-    f_ion_HI = (y1R(0) * fra1 - y2R(0) * fra2).sum(-1)
-    f_ion_HeI = (y1R(1) * fra1 - y2R(1) * fra2).sum(-1)
-
-    return PhotRates(
-        photo_cell_HI=out.photo_cell_HI
-        + f_ion_HI / (const.ion_freq_HI * const.hplanck),
-        photo_cell_HeI=out.photo_cell_HeI
-        + f_ion_HeI / (const.ion_freq_HeI * const.hplanck),
-        photo_cell_HeII=out.photo_cell_HeII,
-        heat=f_heat,
-        photo_in=out.photo_in, photo_out=out.photo_out)
-
-
 def photoion_rates_quad(
     qt: QuadTables,
     colum_in_HI, colum_out_HI,
@@ -607,10 +449,13 @@ def photoion_rates_quad(
         if sq is None or nflux is None:
             continue
         nflux = jnp.broadcast_to(jnp.asarray(nflux, dtype=dtype), shape)
-        fn = (_one_source_quad_packed
-              if isinstance(sq, SourceQuadPacked) else _one_source_quad)
-        phi = phi + fn(
-            qt, sq, nflux,
-            cd_in_HI, colum_out_HI, colum_in_HeI, colum_out_HeI,
-            colum_in_HeII, colum_out_HeII, vol, i_state, do_heating)
+        # "auto" node mode represents a source type as a tuple of
+        # uniform-K band blocks; their rates are additive over bands
+        blocks = (sq,) if isinstance(sq, SourceQuad) else sq
+        for blk in blocks:
+            phi = phi + _one_source_quad(
+                qt, blk, nflux,
+                cd_in_HI, colum_out_HI, colum_in_HeI, colum_out_HeI,
+                colum_in_HeII, colum_out_HeII, vol, i_state,
+                do_heating)
     return phi

@@ -79,7 +79,9 @@ def _scaled_source_strength(sweep_cfg: SweepConfig, nflux) -> float:
         for sq, j in cols:
             if sq is None:
                 continue
-            a_sum = float(jnp.sum(sq.A_photo))
+            from ..radiation.quadrature import SourceQuad
+            blocks = (sq,) if isinstance(sq, SourceQuad) else sq
+            a_sum = sum(float(jnp.sum(b.A_photo)) for b in blocks)
             total += a_sum * float(jnp.sum(nflux[:, j]))
     else:
         total = float(jnp.sum(nflux))

@@ -201,3 +201,56 @@ def test_domain_lls_grid_matches_scalar():
 def test_max_domain_radius():
     assert max_domain_radius(16) == 7
     assert max_domain_radius(128) == 63
+
+
+@needs8
+def test_run3d_parallel_domain_driver(tmp_path):
+    """The driver runs the grid-sharded mode end to end
+    (Run3DConfig.parallel='domain') and the state stays slab-sharded."""
+    from c2ray_tpu.driver import Run3D, Run3DConfig
+    from c2ray_tpu.io.writers import OutputStreams
+    from c2ray_tpu.nbody import test_nbody as make_test_nbody
+    from c2ray_tpu.radiation.sed import BlackBodySED
+    from c2ray_tpu.sources import SourceList
+
+    Mm = 16
+    config = Run3DConfig(
+        mesh=Mm, nbody=make_test_nbody(),
+        sed=SEDConfig(bb=BlackBodySED(T_eff=5.0e4, S_star=3e56)),
+        isothermal=True, steps_per_slice=1,
+        results_dir=str(tmp_path / "results"),
+        dump_dir=str(tmp_path), streams=OutputStreams(),
+        parallel="domain", n_devices=8,
+    )
+    run = Run3D(config)
+    run.init_uniform_material()
+    sources = SourceList(srcpos=np.array([[8, 8, 8]], dtype=np.int32),
+                         nflux=np.array([[1.0, 0.0, 0.0]]))
+    stats = run.run_slice(0, sources, write_output=False)
+    assert stats[0].n_iterations >= 2
+    assert run.state.ndens.sharding.spec == P("d")
+    h1 = np.asarray(run.state.h1).reshape(Mm, Mm, Mm)
+    assert h1[8, 8, 8] > 0.9
+
+    # source-parallel replicated mode too
+    config2 = Run3DConfig(
+        mesh=Mm, nbody=make_test_nbody(),
+        sed=SEDConfig(bb=BlackBodySED(T_eff=5.0e4, S_star=3e56)),
+        isothermal=True, steps_per_slice=1,
+        results_dir=str(tmp_path / "results2"),
+        dump_dir=str(tmp_path), streams=OutputStreams(),
+        parallel="source", n_devices=8,
+    )
+    run2 = Run3D(config2)
+    run2.init_uniform_material()
+    run2.run_slice(0, sources, write_output=False)
+    h1b = np.asarray(run2.state.h1).reshape(Mm, Mm, Mm)
+    assert h1b[8, 8, 8] > 0.9
+    # both modes agree inside the common trace region: the domain
+    # window caps at radius (M-2)/2 = 7, so the replicated engine's
+    # extra +8-offset wrap planes are excluded (at production meshes
+    # the subbox is far smaller than the box and this edge vanishes)
+    off = np.arange(Mm) - 8
+    inside = np.abs(off) <= 7
+    m = np.ix_(inside, inside, inside)
+    np.testing.assert_allclose(h1[m], h1b[m], rtol=0.05, atol=1e-6)

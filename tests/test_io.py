@@ -77,3 +77,25 @@ def test_source_list_roundtrip(tmp_path):
     back = load_source_list(p)
     np.testing.assert_array_equal(back.srcpos, src.srcpos)
     np.testing.assert_allclose(back.nflux, src.nflux, rtol=1e-7)
+
+
+def test_compressed_ion_stream(tmp_path):
+    """The _compr output family: sign-coded H-only snapshot cube
+    round-trips with full precision in the small fraction
+    (output_compr.F90; codec mat_ini_cubep3m_compr.F90:454-471)."""
+    from c2ray_tpu.io.readers import read_compressed_ion_cube
+    from c2ray_tpu.io.writers import OutputStreams, OutputWriter
+
+    M = 8
+    rng = np.random.RandomState(2)
+    xh1 = np.concatenate([rng.uniform(0, 1e-12, M**3 // 2),
+                          1.0 - rng.uniform(0, 1e-12, M**3 // 2)])
+    xh1 = xh1.reshape(M, M, M)
+    xh = np.stack([1.0 - xh1, xh1], axis=-1)
+    xhe = np.zeros((M, M, M, 3))
+    w = OutputWriter(str(tmp_path), OutputStreams(ion_cubes=False,
+                                                  compressed_ion=True))
+    w.write(7.0, xh=xh, xhe=xhe, ndens=np.ones((M, M, M)))
+    got = read_compressed_ion_cube(str(tmp_path / "xh_compr_7.000.bin"))
+    # exact round-trip: the stored small fraction keeps full precision
+    np.testing.assert_array_equal(got, xh1)

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--mesh", type=int, default=32)
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--src-per-device", type=int, default=2)
+    ap.add_argument("--mode", choices=["source", "domain"],
+                    default="source")
+    ap.add_argument("--radius", type=int, default=None,
+                    help="domain-mode trace radius (default mesh/4)")
     ap.add_argument("--cpu", action="store_true", default=None)
     args = ap.parse_args()
 
@@ -67,6 +71,10 @@ def main():
     rng = np.random.RandomState(11)
     dt = jnp.asarray(1e14, dtype=dtype)
 
+    from c2ray_tpu.parallel import (group_sources_by_slab,
+                                    make_domain_iteration,
+                                    max_domain_radius, shard_state_slabs)
+
     results = {}
     t1 = None
     for nd in args.devices:
@@ -77,13 +85,24 @@ def main():
         nflux = np.column_stack([rng.uniform(0.5, 2.0, n_src),
                                  np.zeros((n_src, 2))])
         mesh_dev = Mesh(np.array(jax.devices()[:nd]), ("d",))
-        it = make_parallel_iteration(ParallelConfig(cfg=cfg, mesh=mesh_dev))
-        sp, nf = pad_sources(srcpos, nflux, nd)
+        pcfg = ParallelConfig(cfg=cfg, mesh=mesh_dev)
+
+        if args.mode == "domain":
+            # grid-sharded mode: per-device memory M^3/nd; sources
+            # grouped by owning slab (parallel/domain.py)
+            radius = min(args.radius or M // 4, max_domain_radius(M))
+            it = make_domain_iteration(pcfg, radius)
+            sp, nf = group_sources_by_slab(srcpos, nflux, M, nd)
+            st = shard_state_slabs(state, mesh_dev)
+        else:
+            it = make_parallel_iteration(pcfg)
+            sp, nf = pad_sources(srcpos, nflux, nd)
+            st = state
         sp, nf = jnp.asarray(sp), jnp.asarray(nf, dtype=dtype)
-        out = it(state, sp, nf, dt)
+        out = it(st, sp, nf, dt)
         jax.block_until_ready(out[0].h_av1)
         t0 = time.perf_counter()
-        out = it(state, sp, nf, dt)
+        out = it(st, sp, nf, dt)
         jax.block_until_ready(out[0].h_av1)
         el = time.perf_counter() - t0
         rate = M**3 * n_src / el
@@ -91,13 +110,13 @@ def main():
             t1 = el
         eff = t1 / el  # weak scaling: ideal = const time
         results[nd] = dict(seconds=el, rate=rate, weak_efficiency=eff)
-        print(f"# {nd} devices, {n_src} sources: {el:.3f}s "
+        print(f"# [{args.mode}] {nd} devices, {n_src} sources: {el:.3f}s "
               f"{rate:.3e} cell-src/s weak-eff {eff:.2f}",
               file=sys.stderr)
 
     best = max(results)
     print(json.dumps({
-        "metric": f"weak_scaling_efficiency_{best}dev_mesh{M}",
+        "metric": f"weak_scaling_efficiency_{args.mode}_{best}dev_mesh{M}",
         "value": results[best]["weak_efficiency"],
         "unit": "fraction",
         "vs_baseline": 1.0,

@@ -42,8 +42,10 @@ def main():
     if args.quadrature:
         from c2ray_tpu.radiation.quadrature import build_quadrature_tables
 
+        # the dump format is the dense (nband, K) layout: request a
+        # fixed rule (the "auto" default returns uniform-K blocks)
         qt, sed_n, bands = build_quadrature_tables(
-            sed, isothermal=args.isothermal)
+            sed, isothermal=args.isothermal, n_nodes=8)
         np.savez(os.path.join(args.outdir, "bb_quadrature.npz"),
                  sigma_hat=np.asarray(qt.bb.sigma_hat),
                  A_photo=np.asarray(qt.bb.A_photo),
