@@ -6,31 +6,44 @@ BASELINE.md north-star metric.  The reference publishes no numbers
 (BASELINE.md: "published: {}"), so vs_baseline is reported against our
 own recorded first-round value when available, else 1.0.
 
+Fail-safe structure (round-2 postmortem): each configuration runs in
+its own subprocess so a device fault in one cannot take down the
+others; if the default adaptive-node quadrature ("auto") faults, the
+config is retried with the proven fixed 8-node rule and the JSON
+records which path produced the number.  Exactly one JSON line is
+always printed, even on partial failure.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 MESH = int(os.environ.get("BENCH_MESH", 128))
 N_SRC = int(os.environ.get("BENCH_SOURCES", 8))
 N_ITER = int(os.environ.get("BENCH_ITERS", 2))
+# per-config wall clamp: warm-up compile through the device tunnel runs
+# ~4-7 min; anything past this is a hang, not a slow compile
+TIMEOUT_S = float(os.environ.get("BENCH_TIMEOUT_S", 1500))
 # round-1 recorded value of the SAME isothermal config on 1 TPU chip
 # (BENCH_r01.json / BASELINE.md "Measured"): vs_baseline tracks our own
 # progression because the reference publishes no numbers
 REFERENCE_VALUE = float(os.environ.get("BENCH_BASELINE", 68696824.6))
 
 
-def _bench_one(isothermal: bool):
+def _bench_one(isothermal: bool, n_nodes="auto"):
+    """One config, in-process: build tables, compile, time N_ITER
+    full evolve3D iterations, return cell-source updates/s."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from c2ray_tpu import constants as const
     from c2ray_tpu.cooling import setup_cooling_tables
@@ -47,7 +60,7 @@ def _bench_one(isothermal: bool):
 
     tables, sed, bands = build_quadrature_tables(
         SEDConfig(bb=BlackBodySED(T_eff=5e4, S_star=3e51)),
-        isothermal=isothermal, dtype=dtype)
+        isothermal=isothermal, dtype=dtype, n_nodes=n_nodes)
     dr = 50.0 * const.kpc / MESH
     sweep_cfg = SweepConfig(tables=tables, mesh=MESH, dr=dr,
                             isothermal=isothermal,
@@ -84,21 +97,63 @@ def _bench_one(isothermal: bool):
     return updates / elapsed
 
 
-def main():
-    rate = _bench_one(isothermal=True)
-    heating_rate = (0.0 if os.environ.get("BENCH_SKIP_HEATING")
-                    else _bench_one(isothermal=False))
+def _run_config(isothermal: bool):
+    """Run one config in a subprocess; fall back from the adaptive
+    quadrature to fixed 8 nodes on failure.  Returns
+    (rate_or_None, quad_path, error_or_None)."""
+    for nodes in ("auto", "8"):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--one", "iso" if isothermal else "heat", nodes]
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=TIMEOUT_S, cwd=HERE)
+        except subprocess.TimeoutExpired:
+            err = f"timeout after {TIMEOUT_S:.0f}s (nodes={nodes})"
+            continue
+        if p.returncode == 0:
+            for line in reversed(p.stdout.strip().splitlines()):
+                if line.startswith("RATE "):
+                    return float(line.split()[1]), nodes, None
+            err = f"no RATE line (nodes={nodes}): {p.stdout[-300:]}"
+        else:
+            err = (f"rc={p.returncode} (nodes={nodes}): "
+                   + (p.stderr or p.stdout)[-500:].replace("\n", " | "))
+    return None, None, err
 
-    vs_baseline = rate / REFERENCE_VALUE if REFERENCE_VALUE > 0 else 1.0
-    print(json.dumps({
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        # subprocess entry: one config, one RATE line
+        isothermal = sys.argv[2] == "iso"
+        nodes = sys.argv[3]
+        rate = _bench_one(isothermal,
+                          n_nodes="auto" if nodes == "auto" else int(nodes))
+        print(f"RATE {rate!r}")
+        return
+
+    rate, iso_path, iso_err = _run_config(isothermal=True)
+    if os.environ.get("BENCH_SKIP_HEATING"):
+        heating_rate, heat_path, heat_err = 0.0, "skipped", None
+    else:
+        heating_rate, heat_path, heat_err = _run_config(isothermal=False)
+
+    value = rate if rate is not None else 0.0
+    vs_baseline = (value / REFERENCE_VALUE) if REFERENCE_VALUE > 0 else 1.0
+    out = {
         "metric": f"cell_source_updates_per_s_mesh{MESH}_src{N_SRC}",
-        "value": rate,
+        "value": value,
         "unit": "cell-source-updates/s",
         "vs_baseline": vs_baseline,
-        "heating_value": heating_rate,
+        "heating_value": heating_rate if heating_rate is not None else 0.0,
         "heating_metric": ("cell-source-updates/s, non-isothermal "
                            "(47-band heating + sub-cycled thermal)"),
-    }))
+        "quad_path": {"isothermal": iso_path, "heating": heat_path},
+    }
+    errors = {k: v for k, v in
+              (("isothermal", iso_err), ("heating", heat_err)) if v}
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

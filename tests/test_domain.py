@@ -7,6 +7,10 @@ folded back.  Differential-tested against the replicated single-device
 engine at the same static subbox radius.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -4,6 +4,10 @@ with suppression against the current ionization state, timestep loop,
 PhotonCounts output.  A TEST4-class cosmological multi-slice run at
 test scale."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 
 import numpy as np
