@@ -118,22 +118,49 @@ def setup_cooling_tables(dtype=jnp.float64) -> CoolingTables:
 
 
 def coolin(tables: CoolingTables, nucldens, eldens, xh0, xh1, xhe0, xhe1,
-           xhe2, temperature):
-    """Cooling rate [erg cm^-3 s^-1] (cooling_h.f90:40-71), vectorised."""
+           xhe2, temperature, use_matmul=None):
+    """Cooling rate [erg cm^-3 s^-1] (cooling_h.f90:40-71), vectorised.
+
+    TPU note (round-3 on-chip bisect, tools/fault_bisect*.py): five
+    separate per-species 801-point table gathers inside the fused
+    chemistry/thermal while-loop body both trigger an XLA:TPU kernel
+    fault and, restructured to a single stacked gather, lower to a slow
+    serialized loop (~3.6x the whole pass's steady time at 128^3).  The
+    species curves are therefore stacked into one (801, 5) table and,
+    on TPU, the row interpolation is computed as a two-hot
+    (cells, 801) @ (801, 5) matmul that rides the MXU -- bit-identical
+    weights, no gather, immune to the fault.  CPU keeps the gather.
+    """
+    import jax
+
+    tab5 = jnp.stack([tables.h0, tables.h1, tables.he0, tables.he1,
+                      tables.he2], axis=-1)              # (801, 5)
     tpos = (jnp.log10(temperature) - MINTEMP_LOG) / DTEMP_LOG
     itpos = jnp.clip(tpos.astype(jnp.int32), 0, TEMPPOINTS - 2)
     dtpos = tpos - itpos.astype(tpos.dtype)
-    itpos1 = itpos + 1
 
-    def interp(tab):
-        lo = tab[itpos]
-        return lo + (tab[itpos1] - lo) * dtpos
+    if use_matmul is None:
+        use_matmul = jax.default_backend() == "tpu"
+    if use_matmul:
+        shape = jnp.shape(itpos)
+        iflat = itpos.reshape(-1)
+        dflat = dtpos.reshape(-1)[:, None]
+        # two-hot interpolation weights: (1-d) at row i, d at row i+1
+        w = (jax.nn.one_hot(iflat, TEMPPOINTS, dtype=dtpos.dtype)
+             * (1.0 - dflat)
+             + jax.nn.one_hot(iflat + 1, TEMPPOINTS, dtype=dtpos.dtype)
+             * dflat)
+        lam = (w @ tab5).reshape(shape + (5,))           # (..., 5)
+    else:
+        lo = tab5[itpos]
+        lam = lo + (tab5[itpos + 1] - lo) * dtpos[..., None]
 
-    h_part = (xh0 * interp(tables.h0) + xh1 * interp(tables.h1)) \
-        * (1.0 - const.abu_he)
-    he_part = (xhe0 * interp(tables.he0) + xhe1 * interp(tables.he1)
-               + xhe2 * interp(tables.he2)) * const.abu_he
-    return nucldens * eldens * (h_part + he_part)
+    x5 = jnp.stack([xh0 * (1.0 - const.abu_he),
+                    xh1 * (1.0 - const.abu_he),
+                    xhe0 * const.abu_he,
+                    xhe1 * const.abu_he,
+                    xhe2 * const.abu_he], axis=-1)
+    return nucldens * eldens * jnp.sum(lam * x5, axis=-1)
 
 
 def load_ascii_cooling_table(path):

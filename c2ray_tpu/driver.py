@@ -100,6 +100,10 @@ class Run3DConfig:
     parallel: Optional[str] = None
     # devices to use (None = all of jax.devices())
     n_devices: Optional[int] = None
+    # domain mode: extra exchanged halo planes enabling cost-balanced
+    # source assignment across neighboring slabs (the SPMD replacement
+    # for master_slave.F90's dynamic queue); 0 = strict owner slabs
+    balance_halo: int = 0
 
 
 class PhotonConservationError(RuntimeError):
@@ -328,6 +332,12 @@ class Run3D:
                           iteration_cache=self._iteration_cache,
                           initial_radius=self._subbox_radius,
                           lls_grid=self._current_lls_grid())
+            # mid-iteration checkpoints on the reference's 15-min wall
+            # clock (evolve.F90:199-212), in every parallel mode
+            dump_kw = dict(dump_dir=c.dump_dir,
+                           dump_interval_s=c.dump_interval_s,
+                           start_from_dump=(start_from_dump
+                                            and step == 0))
             if c.parallel == "domain":
                 from .parallel import domain_evolve3d, shard_state_slabs
 
@@ -335,22 +345,18 @@ class Run3D:
                                                self.device_mesh)
                 self.state, stats = domain_evolve3d(
                     self.pconfig, self.state, np.asarray(srcpos),
-                    np.asarray(nflux), dt, **common)
+                    np.asarray(nflux), dt,
+                    balance_halo=c.balance_halo, **dump_kw, **common)
             elif c.parallel == "source":
                 from .parallel import parallel_evolve3d
 
                 self.state, stats = parallel_evolve3d(
                     self.pconfig, self.state, srcpos, nflux, dt,
-                    **common)
+                    **dump_kw, **common)
             else:
                 self.state, stats = evolve3d(
                     self.evolve_cfg, self.state, srcpos, nflux, dt,
-                    # mid-iteration checkpoints on the reference's
-                    # 15-min wall clock (evolve.F90:199-212)
-                    dump_dir=c.dump_dir,
-                    dump_interval_s=c.dump_interval_s,
-                    start_from_dump=(start_from_dump and step == 0),
-                    **common)
+                    **dump_kw, **common)
             if stats.subbox_radius:
                 self._subbox_radius = stats.subbox_radius
             self.time = t1 + (step + 1) * dt

@@ -140,6 +140,28 @@ def pmfast_nbody(redshift_file, boxsize=100.0, n_box=3248,
         dir_src=base_dir + "sources/")
 
 
+def lg_nbody(redshift_file, boxsize, cosmology=DEFAULT_COSMOLOGY,
+             base_dir="../", id_str="LG") -> NBodyInterface:
+    """LG (constrained Local Group GADGET simulation) backend.
+
+    The reference's `LG.F90` nbody module is absent from the tree (only
+    `mat_ini_LG.F90` / `sourceprops_LG.F90` survive), so this is
+    reconstructed from the module contract those files import
+    (mat_ini_LG.F90:17-18): `nbody_type="LG"`, slice-numbered density
+    files `<nz:03d>rho_<id_str>.dat` in "M0Mpc3" mass-density units
+    with an unformatted header (read by io.readers.read_lg_density_file),
+    and an `id_str` that selects the `dmdens_cic` naming variant
+    (mat_ini_LG.F90:185-191).
+    """
+    with open(redshift_file) as f:
+        n = int(f.readline().split()[0])
+        zred = np.array([float(f.readline().split()[0]) for _ in range(n)])
+    return NBodyInterface(
+        nbody_type="LG", boxsize=boxsize, cosmology=cosmology,
+        zred_array=zred, dir_dens=base_dir, dir_src=base_dir,
+        id_str=id_str)
+
+
 def gadget_nbody(redshift_file, boxsize, cosmology=DEFAULT_COSMOLOGY,
                  base_dir="../") -> NBodyInterface:
     """GADGET backend skeleton (gadget.F90; the reference marks this

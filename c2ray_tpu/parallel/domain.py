@@ -139,31 +139,78 @@ def _fold_cyclic(x, H, axis):
 # source assignment
 # ---------------------------------------------------------------------------
 
+def _pack_groups(srcpos, nflux, assign, n_dev, mesh):
+    """Lay sources out as (D*K, 3) blocks with x replaced by the
+    *slab-local offset* x - d*S (may be negative for borrowed
+    sources); pad each device's block to K with zero-flux no-ops."""
+    S = mesh // n_dev
+    counts = np.bincount(assign, minlength=n_dev)
+    K = max(int(counts.max()) if counts.size else 1, 1)
+    sp = np.zeros((n_dev, K, 3), dtype=np.int32)
+    nf = np.zeros((n_dev, K, nflux.shape[1]), dtype=nflux.dtype)
+    fill = np.zeros(n_dev, dtype=np.int64)
+    half = mesh // 2
+    for i in range(srcpos.shape[0]):
+        d = int(assign[i])
+        # centered periodic offset relative to the slab start
+        off = (int(srcpos[i, 0]) - d * S + half) % mesh - half
+        sp[d, fill[d]] = (off, srcpos[i, 1], srcpos[i, 2])
+        nf[d, fill[d]] = nflux[i]
+        fill[d] += 1
+    return sp.reshape(n_dev * K, 3), nf.reshape(n_dev * K, -1)
+
+
 def group_sources_by_slab(srcpos, nflux, mesh: int, n_dev: int):
     """Assign each source to the device owning its x-slab; pad each
     group to the max per-slab count with zero-flux no-ops.
 
-    Returns ((D*K, 3) int32 positions, (D*K, 3) fluxes) laid out so a
-    leading-axis PartitionSpec gives device d exactly its K sources.
-    The static per-slab padding replaces the reference's master-slave
-    dynamic queue (master_slave.F90:124-227) -- deterministic and
-    SPMD-friendly, at the price of idling on clustered catalogs.
+    Returns ((D*K, 3) int32, (D*K, 3) fluxes) laid out so a leading-axis
+    PartitionSpec gives device d exactly its K sources; column 0 holds
+    the slab-local x offset (in [0, S) for owner assignment).  Padded
+    zero-flux entries are skipped by a `lax.cond` inside the sweep, so
+    they cost no trace work.
     """
     srcpos = np.asarray(srcpos)
     nflux = np.asarray(nflux)
     S = mesh // n_dev
     owner = (srcpos[:, 0].astype(np.int64) // S).astype(np.int64)
-    counts = np.bincount(owner, minlength=n_dev)
-    K = max(int(counts.max()) if counts.size else 1, 1)
-    sp = np.zeros((n_dev, K, 3), dtype=np.int32)
-    nf = np.zeros((n_dev, K, nflux.shape[1]), dtype=nflux.dtype)
-    fill = np.zeros(n_dev, dtype=np.int64)
-    for i in range(srcpos.shape[0]):
-        d = int(owner[i])
-        sp[d, fill[d]] = srcpos[i]
-        nf[d, fill[d]] = nflux[i]
-        fill[d] += 1
-    return sp.reshape(n_dev * K, 3), nf.reshape(n_dev * K, -1)
+    return _pack_groups(srcpos, nflux, owner, n_dev, mesh)
+
+
+def group_sources_balanced(srcpos, nflux, mesh: int, n_dev: int,
+                           extra_halo: int):
+    """Cost-balanced static source assignment (the SPMD replacement for
+    the reference's master-slave dynamic queue,
+    master_slave.F90:124-227).
+
+    With `extra_halo = E` extra exchanged boundary planes, device d can
+    trace any source whose slab-local offset lies in [-(E+1), S+E-1]
+    (its window then still fits the halo-extended slab).  Each source
+    goes to the least-loaded eligible device (ties to the owner), so a
+    clustered catalog spreads over min(n_dev, 2*ceil(E/S)+1) devices
+    instead of idling all but one.  Padded no-ops are `lax.cond`-skipped
+    in the sweep, so per-device wall time tracks the real max load.
+    """
+    srcpos = np.asarray(srcpos)
+    nflux = np.asarray(nflux)
+    S = mesh // n_dev
+    E = int(extra_halo)
+    half = mesh // 2
+    load = np.zeros(n_dev, dtype=np.int64)
+    assign = np.zeros(srcpos.shape[0], dtype=np.int64)
+    # process in x order for determinism
+    order = np.argsort(srcpos[:, 0], kind="stable")
+    for i in order:
+        x = int(srcpos[i, 0])
+        owner = x // S
+        best, best_load = owner, load[owner]
+        for d in range(n_dev):
+            off = (x - d * S + half) % mesh - half
+            if -(E + 1) <= off <= S + E - 1 and load[d] < best_load:
+                best, best_load = d, load[d]
+        assign[i] = best
+        load[best] += 1
+    return _pack_groups(srcpos, nflux, assign, n_dev, mesh)
 
 
 def shard_state_slabs(state: GridState, mesh) -> GridState:
@@ -180,19 +227,32 @@ def shard_state_slabs(state: GridState, mesh) -> GridState:
 # ---------------------------------------------------------------------------
 
 def max_domain_radius(mesh: int) -> int:
-    """Largest trace radius whose window fits the mesh without
-    self-overlap (window Mw = 2r+2 <= mesh)."""
-    return (mesh - 2) // 2
+    """Largest supported trace radius: mesh/2 is the full periodic
+    extent (+M/2 / -(M/2-1), evolve_source.F90:103-109); the window is
+    then the whole torus (Mw = M) and the domain sweep reproduces the
+    replicated engine exactly."""
+    return mesh // 2
 
 
-def make_domain_iteration(pcfg: ParallelConfig, radius: int):
+def make_domain_iteration(pcfg: ParallelConfig, radius: int,
+                          extra_halo: int = 0, return_rates: bool = False):
     """One jitted grid-sharded {halo exchange + windowed pyramid sweep
     + reverse rate exchange + local chemistry} iteration.
 
-    `radius` (static) is the subbox trace radius; the halo width is
-    radius+1.  All grid-sized arrays stay sharded; per-step traced
-    scalars (`dr`, `vol_over_scale`, `cosmo_cool_factor`) follow the
-    single-chip path's no-recompile contract.
+    `radius` (static) is the subbox trace radius, up to M/2 = the full
+    periodic trace (window of M planes, extents +M/2 / -(M/2-1) like
+    the replicated engine).  All grid-sized arrays stay sharded;
+    per-step traced scalars (`dr`, `vol_over_scale`,
+    `cosmo_cool_factor`) follow the single-chip path's no-recompile
+    contract.
+
+    `extra_halo` widens the exchanged halo by E planes so devices can
+    trace sources borrowed from neighbors (group_sources_balanced);
+    `return_rates` additionally returns the slab-sharded RateGrids for
+    the mid-iteration checkpoint path (evolve.F90:233-275).
+
+    Source positions' column 0 must be the slab-local x offset
+    (as produced by group_sources_by_slab / group_sources_balanced).
     """
     cfg = pcfg.cfg
     mesh = pcfg.mesh
@@ -202,12 +262,16 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int):
         raise ValueError(f"mesh {M} not divisible by {D} devices")
     S = M // D
     Rw = int(radius)
-    if Rw < 1 or 2 * Rw + 2 > M:
+    if Rw < 1 or Rw > M // 2:
         raise ValueError(
             f"radius {Rw} outside [1, {max_domain_radius(M)}] for "
-            f"mesh {M} (window must fit the box)")
-    H = Rw + 1
-    Mw = 2 * Rw + 2
+            f"mesh {M}")
+    # window holds extents +Rw / -Rb around the source; at the full
+    # radius the backward extent drops one plane (the reference's
+    # periodic -(M/2-1), evolve_source.F90:103-109) and Mw == M
+    Mw = min(2 * Rw + 2, M)
+    Rb = min(Rw, Mw // 2 - 1)
+    H = Mw - Rb - 1 + int(extra_halo)
 
     def _step_shard(state: GridState, srcpos, nflux, lls_grid, dt, dr,
                     vol_over_scale, ccf):
@@ -228,8 +292,6 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int):
         pf = _cyclic_pad(pf, H, 1)
         pf = _cyclic_pad(pf, H, 2)
 
-        x0 = jax.lax.axis_index(AXIS).astype(jnp.int32) * S
-
         tie = jnp.asarray(nflux, dtype=dtype).ravel()[0] * 0.0
         rc0 = jnp.zeros((S + 2 * H, M + 2 * H, M + 2 * H, 4),
                         dtype=dtype) + tie
@@ -238,18 +300,32 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int):
         def one_source(carry, sn):
             rc, pl, lls = carry
             sp, nf = sn
-            start = (sp[0] - x0 + (H - Rw), sp[1] + (H - Rw),
-                     sp[2] + (H - Rw), jnp.int32(0))
-            win = jax.lax.dynamic_slice(pf, start, (Mw, Mw, Mw, C))
-            cube, p, l = trace_centered(cfg.sweep, win, nf, radius=Rw,
-                                        dr=dr,
-                                        vol_over_scale=vol_over_scale)
+            # sp[0] is the slab-local x offset (window start may dip
+            # into the halo for borrowed sources)
+            start = (sp[0] + (H - Rb), sp[1] + (H - Rb),
+                     sp[2] + (H - Rb), jnp.int32(0))
+
+            def traced(_):
+                win = jax.lax.dynamic_slice(pf, start, (Mw, Mw, Mw, C))
+                return trace_centered(cfg.sweep, win, nf, radius=Rw,
+                                      dr=dr,
+                                      vol_over_scale=vol_over_scale)
+
+            def skipped(_):
+                # `+ tie` marks the zeros as device-varying so both
+                # cond branches agree under shard_map's vma typing
+                return (jnp.zeros((Mw, Mw, Mw, 4), dtype=dtype) + tie,
+                        jnp.zeros((), dtype=dtype) + tie,
+                        jnp.zeros((), dtype=dtype) + tie)
+
+            # padded zero-flux no-ops skip the whole trace (the load
+            # balancer's idle slots cost no work)
             live = jnp.any(nf > 0.0)
-            cube = jnp.where(live, cube, jnp.zeros_like(cube))
+            cube, p, l = jax.lax.cond(live, traced, skipped, None)
             patch = jax.lax.dynamic_slice(rc, start, (Mw, Mw, Mw, 4))
             rc = jax.lax.dynamic_update_slice(rc, patch + cube, start)
-            pl = pl + jnp.where(live, p, 0.0)
-            lls = lls + jnp.where(live, l, 0.0)
+            pl = pl + p
+            lls = lls + l
             return (rc, pl, lls), None
 
         (rc, pl, lls), _ = jax.lax.scan(one_source, (rc0, pl0, pl0),
@@ -269,14 +345,23 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int):
         new_state, conv = global_chemistry_pass(cfg.chem, state, rates,
                                                 dt, ccf)
         conv = jax.lax.psum(conv, AXIS)
+        if return_rates:
+            return new_state, conv, pl, lls, rates
         return new_state, conv, pl, lls
+
+    rates_spec = RateGrids(phih=P(AXIS), phihe0=P(AXIS),
+                           phihe1=P(AXIS), phiheat=P(AXIS),
+                           photon_loss=P(), lls_loss=P())
 
     def _wrap(with_lls):
         in_specs = (P(AXIS), P(AXIS), P(AXIS),
                     P(AXIS) if with_lls else None,
                     P(), P(), P(), P())
+        out_specs = (P(AXIS), P(), P(), P())
+        if return_rates:
+            out_specs = out_specs + (rates_spec,)
         return partial(shard_map, mesh=mesh, in_specs=in_specs,
-                       out_specs=(P(AXIS), P(), P(), P()))(_step_shard)
+                       out_specs=out_specs)(_step_shard)
 
     shard_plain = _wrap(False)
     shard_lls = _wrap(True)
@@ -305,7 +390,9 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int):
 
 
 def _domain_radii(cfg):
-    """The dyadic subbox ladder clipped to radii whose window fits."""
+    """The dyadic subbox ladder, now identical to the single-chip
+    ladder (the full radius M/2 is supported since the window may span
+    the whole torus)."""
     from ..sweep.evolve3d import _subbox_radii
 
     rmax = max_domain_radius(cfg.sweep.mesh)
@@ -318,32 +405,59 @@ def _domain_radii(cfg):
 def domain_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                     nflux, dt, radius=None, dr=None,
                     cosmo_cool_factor=None, iteration_cache=None,
-                    initial_radius=None, lls_grid=None):
+                    initial_radius=None, lls_grid=None,
+                    balance_halo: int = 0,
+                    dump_dir=None, dump_interval_s=900.0,
+                    start_from_dump=False):
     """Grid-sharded evolve3D: the reference's convergence protocol
     (evolve.F90:147-181) over the domain-decomposed sweep, with the
     adaptive expanding subbox (evolve_source.F90:114-144) growing the
-    static window ladder.
+    static window ladder up to the full periodic trace (radius M/2).
 
     `radius` fixes the trace radius (no adaptivity); otherwise the
-    dyadic ladder from the single-chip path is used, capped at the
-    largest window that fits the box.
+    single-chip dyadic ladder is used, ending at the full extent.
+
+    `balance_halo = E` exchanges E extra halo planes and assigns
+    sources cost-balanced over eligible devices
+    (group_sources_balanced) instead of strictly by owner slab -- the
+    SPMD answer to the reference's master-slave queue for clustered
+    catalogs (master_slave.F90:124-227).
+
+    `dump_dir` enables the reference's mid-iteration checkpoints
+    (evolve.F90:199-212): every `dump_interval_s` wall seconds the
+    pre-iteration state + the iteration's (gathered) rate grids are
+    written to alternating iterdump slots; `start_from_dump=True`
+    resumes mid-timestep (evolve.F90:279-367), re-sharding the restored
+    state over the device mesh.
     """
+    import time as _time
+
     from ..state import begin_timestep, finish_timestep
     from ..sweep.evolve3d import Evolve3DStats, _scaled_source_strength
 
     cfg = pcfg.cfg
     n_dev = pcfg.mesh.devices.size
-    sp, nf = group_sources_by_slab(srcpos, nflux, cfg.sweep.mesh, n_dev)
+    if balance_halo > 0:
+        sp, nf = group_sources_balanced(srcpos, nflux, cfg.sweep.mesh,
+                                        n_dev, balance_halo)
+    else:
+        sp, nf = group_sources_by_slab(srcpos, nflux, cfg.sweep.mesh,
+                                       n_dev)
     sp = jnp.asarray(sp)
     nf = jnp.asarray(nf, dtype=state.ndens.dtype)
 
     if iteration_cache is None:
         iteration_cache = {}
+    want_rates = dump_dir is not None
 
     def iteration_at(r):
-        if r not in iteration_cache:
-            iteration_cache[r] = make_domain_iteration(pcfg, r)
-        return iteration_cache[r]
+        key = (r, balance_halo, "rates") if want_rates \
+            else (r, balance_halo)
+        if key not in iteration_cache:
+            iteration_cache[key] = make_domain_iteration(
+                pcfg, r, extra_halo=balance_halo,
+                return_rates=want_rates)
+        return iteration_cache[key]
 
     adaptive = radius is None and cfg.use_subbox
     if adaptive:
@@ -366,8 +480,36 @@ def domain_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
     conv_criterion = min(int(cfg.convergence_fraction * n),
                          max(num_src, 1))
 
-    state = begin_timestep(state)
-    conv_flag, niter, ploss, lls_loss = n, 0, 0.0, 0.0
+    resume_niter = 0
+    resume_conv = None
+    if start_from_dump:
+        # mid-timestep resume (evolve.F90:279-367): restore the dumped
+        # pre-iteration state + rates, re-apply one chemistry pass on
+        # the host arrays, then re-shard over the device mesh
+        from ..io.checkpoint import load_iterdump
+        from ..sweep.source_sweep import RateGrids as _RG
+
+        resume_niter, st_np, rt_np, meta = load_iterdump(
+            dump_dir, GridState, _RG, with_meta=True)
+        dtype = state.ndens.dtype
+        rstate = GridState(*[jnp.asarray(x, dtype=dtype)
+                             for x in st_np])
+        rrates = _RG(*[jnp.asarray(x, dtype=dtype) for x in rt_np])
+        ccf = (None if cosmo_cool_factor is None
+               else jnp.asarray(float(cosmo_cool_factor)))
+        rstate, conv_dev = global_chemistry_pass(
+            cfg.chem, rstate, rrates, jnp.asarray(dt), ccf)
+        resume_conv = int(conv_dev)
+        state = shard_state_slabs(rstate, pcfg.mesh)
+        if adaptive and meta.get("subbox_radius"):
+            r_sub = int(meta["subbox_radius"])
+            while (r_idx + 1 < len(radii) and radii[r_idx] < r_sub):
+                r_idx += 1
+    else:
+        state = begin_timestep(state)
+    conv_flag = n if resume_conv is None else resume_conv
+    niter, ploss, lls_loss = resume_niter, 0.0, 0.0
+    last_dump = _time.time()
     while True:
         if conv_flag < conv_criterion and niter > 1:
             break
@@ -385,16 +527,28 @@ def domain_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                 float(cosmo_cool_factor))
         if lls_grid is not None:
             kw["lls_grid"] = lls_grid
+        prev_state = state
         while True:
             out = iteration_at(radii[r_idx])(state, sp, nf, dt, **kw)
             if (not adaptive or r_idx + 1 >= len(radii)
                     or float(out[2]) <= loss_wall):
                 break
             r_idx += 1
-        state, conv_dev, ploss_dev, lls_dev = out
+        state, conv_dev, ploss_dev, lls_dev = out[:4]
         conv_flag = int(conv_dev)
         ploss = float(ploss_dev)
         lls_loss = float(lls_dev)
+
+        if want_rates and _time.time() - last_dump >= dump_interval_s:
+            # gather the sharded payloads to host and write the same
+            # iterdump format as the single-chip path (the dump is
+            # mode-portable: a domain run can resume a single-chip
+            # dump and vice versa)
+            from ..io.checkpoint import save_iterdump
+
+            save_iterdump(dump_dir, niter, prev_state, out[4],
+                          subbox_radius=radii[r_idx])
+            last_dump = _time.time()
 
     state = finish_timestep(state)
     return state, Evolve3DStats(n_iterations=niter, conv_flag=conv_flag,

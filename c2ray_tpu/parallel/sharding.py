@@ -65,7 +65,8 @@ def pad_sources(srcpos, nflux, n_devices: int):
     return srcpos, nflux
 
 
-def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
+def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None,
+                            return_rates: bool = False):
     """One jitted sharded {source sweep + global chemistry} iteration.
 
     Input sharding: grid state replicated for the sweep, sources sharded
@@ -75,6 +76,8 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
     mechanism, evolve_source.F90:114-144); `dr`/`vol_over_scale`/
     `cosmo_cool_factor` are traced per-step scalars so cosmological
     runs never recompile (cosmo_evol, cosmology.f90:159-202).
+    `return_rates` additionally returns the psum-reduced RateGrids for
+    the mid-iteration checkpoint path (evolve.F90:233-275).
     """
     cfg = pcfg.cfg
     mesh = pcfg.mesh
@@ -148,6 +151,9 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
                 st.clumping, st.ndens.shape))
         new_state, conv_flag = chem_shard(st, rates, dt,
                                           cosmo_cool_factor)
+        if return_rates:
+            return (new_state, conv_flag, rates.photon_loss,
+                    rates.lls_loss, rates)
         return (new_state, conv_flag, rates.photon_loss,
                 rates.lls_loss)
 
@@ -157,11 +163,21 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None):
 def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                       nflux, dt, iteration_fn=None, dr=None,
                       cosmo_cool_factor=None, iteration_cache=None,
-                      initial_radius=None, lls_grid=None):
+                      initial_radius=None, lls_grid=None,
+                      dump_dir=None, dump_interval_s=900.0,
+                      start_from_dump=False):
     """Sharded evolve3D: same convergence protocol as the single-chip
     path (evolve.F90:147-181), including the adaptive expanding subbox
     (evolve_source.F90:114-144) and traced per-step `dr` /
-    `cosmo_cool_factor` so cosmological runs never recompile."""
+    `cosmo_cool_factor` so cosmological runs never recompile.
+
+    `dump_dir` / `start_from_dump` give the multi-device path the same
+    mid-iteration checkpoint protocol as the single-chip evolve3d
+    (evolve.F90:199-212, 279-367): dumps are written from the gathered
+    host arrays in the same format, so they are portable across
+    single-chip, source-parallel and domain runs."""
+    import time as _time
+
     from ..state import begin_timestep, finish_timestep
     from ..sweep.evolve3d import (Evolve3DStats, _scaled_source_strength,
                                   _subbox_radii)
@@ -178,14 +194,17 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                 and cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1))
     if iteration_cache is None:
         iteration_cache = {}
+    want_rates = dump_dir is not None
     if adaptive:
         radii = _subbox_radii(cfg)
 
         def iteration_at(r):
-            if r not in iteration_cache:
-                iteration_cache[r] = make_parallel_iteration(
-                    pcfg, radius=None if r == radii[-1] else r)
-            return iteration_cache[r]
+            key = (r, "rates") if want_rates else r
+            if key not in iteration_cache:
+                iteration_cache[key] = make_parallel_iteration(
+                    pcfg, radius=None if r == radii[-1] else r,
+                    return_rates=want_rates)
+            return iteration_cache[key]
 
         total_strength = _scaled_source_strength(cfg.sweep, nflux)
         loss_wall = cfg.min_fraction_of_photons * max(total_strength,
@@ -196,17 +215,44 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                    and radii[r_idx] < initial_radius):
                 r_idx += 1
     elif iteration_fn is None:
-        if "full" not in iteration_cache:
-            iteration_cache["full"] = make_parallel_iteration(pcfg)
-        iteration_fn = iteration_cache["full"]
+        key = ("full", "rates") if want_rates else "full"
+        if key not in iteration_cache:
+            iteration_cache[key] = make_parallel_iteration(
+                pcfg, return_rates=want_rates)
+        iteration_fn = iteration_cache[key]
 
     n = state.mesh3
     num_src = int(jnp.sum(jnp.any(nflux > 0, axis=1)))
     conv_criterion = min(int(cfg.convergence_fraction * n), max(num_src, 1))
 
-    state = begin_timestep(state)
-    conv_flag, niter, ploss, lls_loss = n, 0, 0.0, 0.0
+    resume_niter = 0
+    resume_conv = None
+    if start_from_dump:
+        from ..io.checkpoint import load_iterdump
+        from ..sweep.global_pass import global_chemistry_pass as _gcp
+
+        resume_niter, st_np, rt_np, meta = load_iterdump(
+            dump_dir, GridState, RateGrids, with_meta=True)
+        dtype = state.ndens.dtype
+        rstate = GridState(*[jnp.asarray(x, dtype=dtype)
+                             for x in st_np])
+        rrates = RateGrids(*[jnp.asarray(x, dtype=dtype)
+                             for x in rt_np])
+        ccf = (None if cosmo_cool_factor is None
+               else jnp.asarray(float(cosmo_cool_factor)))
+        state, conv_dev = _gcp(cfg.chem, rstate, rrates,
+                               jnp.asarray(dt), ccf)
+        resume_conv = int(conv_dev)
+        if adaptive and meta.get("subbox_radius"):
+            r_sub = int(meta["subbox_radius"])
+            while (r_idx + 1 < len(radii) and radii[r_idx] < r_sub):
+                r_idx += 1
+    else:
+        state = begin_timestep(state)
+    conv_flag = n if resume_conv is None else resume_conv
+    niter, ploss, lls_loss = resume_niter, 0.0, 0.0
     radius_used = 0
+    last_dump = _time.time()
     while True:
         if conv_flag < conv_criterion and niter > 1:
             break
@@ -224,6 +270,7 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                 float(cosmo_cool_factor))
         if lls_grid is not None:
             kw["lls_grid"] = lls_grid
+        prev_state = state
         if adaptive:
             while True:
                 out = iteration_at(radii[r_idx])(state, srcpos, nflux,
@@ -233,13 +280,19 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                     break
                 r_idx += 1
             radius_used = radii[r_idx]
-            state, conv_dev, ploss_dev, lls_dev = out
         else:
-            state, conv_dev, ploss_dev, lls_dev = iteration_fn(
-                state, srcpos, nflux, dt, **kw)
+            out = iteration_fn(state, srcpos, nflux, dt, **kw)
+        state, conv_dev, ploss_dev, lls_dev = out[:4]
         conv_flag = int(conv_dev)
         ploss = float(ploss_dev)
         lls_loss = float(lls_dev)
+
+        if want_rates and _time.time() - last_dump >= dump_interval_s:
+            from ..io.checkpoint import save_iterdump
+
+            save_iterdump(dump_dir, niter, prev_state, out[4],
+                          subbox_radius=radius_used)
+            last_dump = _time.time()
 
     state = finish_timestep(state)
     return state, Evolve3DStats(n_iterations=niter, conv_flag=conv_flag,

@@ -203,8 +203,163 @@ def test_domain_lls_grid_matches_scalar():
 
 
 def test_max_domain_radius():
-    assert max_domain_radius(16) == 7
-    assert max_domain_radius(128) == 63
+    # the full periodic trace (+M/2 / -(M/2-1)) is supported
+    assert max_domain_radius(16) == 8
+    assert max_domain_radius(128) == 64
+
+
+@needs8
+def test_domain_full_extent_matches_replicated():
+    """At radius M/2 the domain window spans the whole torus and must
+    reproduce the replicated engine's full periodic trace
+    (+M/2 / -(M/2-1), evolve_source.F90:103-109) -- no radius cap."""
+    cfg, state = _setup(M=16)
+    M = cfg.sweep.mesh
+    rng = np.random.RandomState(3)
+    nsrc = 5
+    srcpos = rng.randint(0, M, (nsrc, 3)).astype(np.int32)
+    nflux = np.column_stack([rng.uniform(0.5, 2.0, nsrc),
+                             np.zeros((nsrc, 2))])
+    dt = jnp.float64(5e13)
+    state0 = begin_timestep(state)
+
+    it1 = make_evolve3d_iteration(cfg)            # full trace
+    s1, conv1, pl1, _ = it1(state0, jnp.asarray(srcpos),
+                            jnp.asarray(nflux), dt)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    pcfg = ParallelConfig(cfg=cfg, mesh=mesh)
+    itd = make_domain_iteration(pcfg, M // 2)
+    sp, nf = group_sources_by_slab(srcpos, nflux, M, 8)
+    s8, conv8, pl8, _ = itd(shard_state_slabs(state0, mesh),
+                            jnp.asarray(sp), jnp.asarray(nf), dt)
+
+    np.testing.assert_allclose(np.asarray(s8.h_av1),
+                               np.asarray(s1.h_av1), rtol=5e-11)
+    np.testing.assert_allclose(np.asarray(s8.he_av2),
+                               np.asarray(s1.he_av2), rtol=1e-7,
+                               atol=1e-14)
+    np.testing.assert_allclose(float(pl8), float(pl1), rtol=1e-11,
+                               atol=1e-30)
+    assert int(conv8) == int(conv1)
+
+
+@needs8
+def test_domain_balanced_assignment_matches_and_balances():
+    """A clustered catalog (all sources in one slab) spreads over the
+    eligible devices with per-device counts within +-1, and the result
+    matches both the owner-only grouping and the replicated engine."""
+    from c2ray_tpu.parallel import group_sources_balanced
+
+    cfg, state = _setup(M=16)
+    M, D, S = 16, 8, 2
+    rng = np.random.RandomState(11)
+    nsrc = 8
+    # all sources in slab 2 (x in [4, 5]): owner-only would idle 7/8
+    srcpos = np.column_stack([
+        rng.randint(4, 6, nsrc),
+        rng.randint(0, M, nsrc), rng.randint(0, M, nsrc),
+    ]).astype(np.int32)
+    nflux = np.column_stack([rng.uniform(0.5, 2.0, nsrc),
+                             np.zeros((nsrc, 2))])
+    E = 2 * S   # eligibility reaches ~2 slabs each side (~5 devices)
+    sp, nf = group_sources_balanced(srcpos, nflux, M, D, E)
+    counts = np.any(nf.reshape(D, -1, 3) > 0, axis=2).sum(axis=1)
+    # owner-only grouping puts all 8 on device 2 (K=8); balanced
+    # spreads them so the max per-device load -- which sets the padded
+    # scan length K, i.e. the wall time -- drops to ceil(8/5)=2
+    assert counts.max() <= 2
+    assert (counts > 0).sum() >= 5
+    assert nf.shape[0] == D * counts.max()
+
+    dt = jnp.float64(5e13)
+    state0 = begin_timestep(state)
+    r = 5
+    it1 = make_evolve3d_iteration(cfg, radius=r)
+    s1, conv1, pl1, _ = it1(state0, jnp.asarray(srcpos),
+                            jnp.asarray(nflux), dt)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    pcfg = ParallelConfig(cfg=cfg, mesh=mesh)
+    itd = make_domain_iteration(pcfg, r, extra_halo=E)
+    s8, conv8, pl8, _ = itd(shard_state_slabs(state0, mesh),
+                            jnp.asarray(sp), jnp.asarray(nf), dt)
+    np.testing.assert_allclose(np.asarray(s8.h_av1),
+                               np.asarray(s1.h_av1), rtol=5e-11)
+    np.testing.assert_allclose(float(pl8), float(pl1), rtol=1e-11)
+    assert int(conv8) == int(conv1)
+
+
+@needs8
+def test_domain_iterdump_resume(tmp_path):
+    """Mid-iteration checkpoint in the domain mode: dump every
+    iteration, then resume from the dump and get the same final state
+    as the uninterrupted run (evolve.F90:199-212, 279-367)."""
+    from c2ray_tpu.parallel import domain_evolve3d
+
+    cfg, state = _setup(M=16)
+    M = cfg.sweep.mesh
+    srcpos = np.array([[8, 8, 8], [3, 12, 5]], dtype=np.int32)
+    nflux = np.array([[1.0, 0, 0], [0.7, 0, 0]])
+    dt = 5e13
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    pcfg = ParallelConfig(cfg=cfg, mesh=mesh)
+    st0 = shard_state_slabs(state, mesh)
+
+    # uninterrupted run (dumping every iteration as a side effect)
+    s_ref, stats_ref = domain_evolve3d(
+        pcfg, st0, srcpos, nflux, dt, radius=6,
+        dump_dir=str(tmp_path), dump_interval_s=0.0)
+    assert stats_ref.n_iterations >= 2
+
+    # the last dump was written at iteration n; resuming from it must
+    # reproduce the uninterrupted final state
+    import numpy as _np
+    from c2ray_tpu.io.checkpoint import load_iterdump
+    from c2ray_tpu.state import GridState
+    from c2ray_tpu.sweep.source_sweep import RateGrids
+
+    niter_dumped, _, _ = load_iterdump(str(tmp_path), GridState,
+                                       RateGrids)
+    assert niter_dumped >= 1
+    s_res, stats_res = domain_evolve3d(
+        pcfg, st0, srcpos, nflux, dt, radius=6,
+        dump_dir=str(tmp_path), dump_interval_s=1e9,
+        start_from_dump=True)
+    assert (stats_res.n_iterations == stats_ref.n_iterations)
+    # the resume path re-applies the chemistry pass on gathered host
+    # arrays (different reduction layout): f64-rounding-level agreement
+    _np.testing.assert_allclose(_np.asarray(s_res.h1),
+                                _np.asarray(s_ref.h1), rtol=1e-10)
+    _np.testing.assert_allclose(_np.asarray(s_res.t_final),
+                                _np.asarray(s_ref.t_final), rtol=1e-10)
+
+
+@needs8
+def test_parallel_iterdump_resume(tmp_path):
+    """Same checkpoint protocol in the source-parallel replicated mode
+    (parallel_evolve3d)."""
+    from c2ray_tpu.parallel import parallel_evolve3d
+
+    cfg, state = _setup(M=16)
+    srcpos = np.array([[8, 8, 8], [3, 12, 5]], dtype=np.int32)
+    nflux = np.array([[1.0, 0, 0], [0.7, 0, 0]])
+    dt = 5e13
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    pcfg = ParallelConfig(cfg=cfg, mesh=mesh)
+
+    s_ref, stats_ref = parallel_evolve3d(
+        pcfg, state, srcpos, nflux, dt,
+        dump_dir=str(tmp_path), dump_interval_s=0.0)
+    assert stats_ref.n_iterations >= 2
+
+    s_res, stats_res = parallel_evolve3d(
+        pcfg, state, srcpos, nflux, dt,
+        dump_dir=str(tmp_path), dump_interval_s=1e9,
+        start_from_dump=True)
+    assert stats_res.n_iterations == stats_ref.n_iterations
+    np.testing.assert_allclose(np.asarray(s_res.h1),
+                               np.asarray(s_ref.h1), rtol=1e-10)
 
 
 @needs8

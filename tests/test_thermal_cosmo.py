@@ -190,3 +190,26 @@ def test_run3d_adiabatic_cosmological_cooling(tmp_path):
     t_grid = np.asarray(run.state.t_final)
     assert T < 0.995e4  # the factor actually cooled something
     np.testing.assert_allclose(t_grid, T, rtol=2e-3)
+
+
+def test_coolin_matmul_matches_gather():
+    """The TPU two-hot MXU interpolation path of coolin() must agree
+    with the gather path to rounding (same interpolation weights; see
+    the round-3 XLA:TPU gather-fault note in cooling.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from c2ray_tpu.cooling import coolin, setup_cooling_tables
+
+    tables = setup_cooling_tables(dtype=jnp.float64)
+    rng = np.random.RandomState(3)
+    n = 4096
+    T = 10 ** rng.uniform(0.0, 9.5, n)      # incl. off-table ends
+    x = rng.uniform(0, 1, n)
+    args = (jnp.full((n,), 1e-4), jnp.asarray(x * 1e-4),
+            jnp.asarray(1 - x), jnp.asarray(x), jnp.asarray(1 - x),
+            jnp.asarray(x * 0.9), jnp.asarray(x * 0.1),
+            jnp.asarray(T))
+    a = coolin(tables, *args, use_matmul=False)
+    b = coolin(tables, *args, use_matmul=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-12, atol=0)
