@@ -116,24 +116,60 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None,
     dense_sweep = {"pyramid": sweep_pyramid_source_batch,
                    "octant": sweep_octant_source_batch}.get(engine)
 
-    @jax.jit
-    def iteration(state: GridState, srcpos, nflux, dt, dr=None,
-                  vol_over_scale=None, cosmo_cool_factor=None,
-                  lls_grid=None):
+    def _sweep(state: GridState, srcpos, nflux, dr, vol_over_scale,
+               lls_grid):
         fields = SourceFields(
             ndens=state.ndens,
             h_av0=state.h_av0, h_av1=state.h_av1,
             he_av0=state.he_av0, he_av1=state.he_av1,
         )
         if engine == "pyramid":
-            rates = sweep_pyramid_source_batch(
+            return sweep_pyramid_source_batch(
                 cfg.sweep, fields, srcpos, nflux, radius=radius,
                 dr=dr, vol_over_scale=vol_over_scale, lls_grid=lls_grid)
         elif dense_sweep is not None:
-            rates = dense_sweep(cfg.sweep, fields, srcpos, nflux)
-        else:
-            rates = sweep_sources_accumulate(cfg.sweep, cfg.shells,
-                                             fields, srcpos, nflux)
+            return dense_sweep(cfg.sweep, fields, srcpos, nflux)
+        return sweep_sources_accumulate(cfg.sweep, cfg.shells,
+                                        fields, srcpos, nflux)
+
+    # On TPU, a while_loop body holding both doric and thermal's nested
+    # sub-cycle miscompiles to a device kernel fault (see
+    # _do_chemistry_global's host_loop contract), so the heating
+    # iteration is split: jitted sweep + host-level chemistry loop.
+    # Isothermal (and CPU) keep the single fused program.
+    split_chem = (not cfg.chem.isothermal
+                  and jax.default_backend() == "tpu")
+
+    if split_chem:
+        sweep_jit = jax.jit(_sweep)
+
+        def iteration(state: GridState, srcpos, nflux, dt, dr=None,
+                      vol_over_scale=None, cosmo_cool_factor=None,
+                      lls_grid=None):
+            dtype = state.ndens.dtype
+            if dr is None:
+                dr = jnp.asarray(cfg.sweep.dr, dtype=dtype)
+                vol_over_scale = jnp.asarray(
+                    cfg.sweep.vol / cfg.sweep.flux_scale, dtype=dtype)
+            rates = sweep_jit(state, srcpos, nflux, dr, vol_over_scale,
+                              lls_grid)
+            new_state, conv_flag = global_chemistry_pass(
+                cfg.chem, state, rates, dt, cosmo_cool_factor,
+                host_loop=True)
+            if return_rates:
+                return (new_state, conv_flag, rates.photon_loss,
+                        rates.lls_loss, rates)
+            return (new_state, conv_flag, rates.photon_loss,
+                    rates.lls_loss)
+
+        return iteration
+
+    @jax.jit
+    def iteration(state: GridState, srcpos, nflux, dt, dr=None,
+                  vol_over_scale=None, cosmo_cool_factor=None,
+                  lls_grid=None):
+        rates = _sweep(state, srcpos, nflux, dr, vol_over_scale,
+                       lls_grid)
         new_state, conv_flag = global_chemistry_pass(
             cfg.chem, state, rates, dt, cosmo_cool_factor)
         if return_rates:

@@ -41,35 +41,16 @@ class ChemistryConfig:
     max_iter: int = MAX_CHEM_ITER
 
 
-def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
-                         phi_HI, phi_HeI, phi_HeII, phi_heat,
-                         cosmo_cool_factor=None):
-    """Vectorised do_chemistry with local=.false.
-    (evolve_point.F90:444-646).
-
-    ``cosmo_cool_factor`` = 2 (dz/dt)/(1+z), the adiabatic cosmological
-    cooling factor (cosmology.f90:207-234).  It is time dependent, so
-    cosmological drivers pass it as a *traced* per-step scalar (like
-    `dr` in the sweep) instead of baking it into the config.
-
-    Returns (IonState, t_inter, t_av, n_iterations).
-    """
-    if cosmo_cool_factor is None:
-        cosmo_cool_factor = cfg.cosmo_cool_factor
-    ion0 = state.ion_state(cfg.epsilon)
-    ndens = state.ndens
-    clumping = state.clumping
-    dtype = ndens.dtype
-
-    if cfg.isothermal:
-        temper1_0 = jnp.full_like(ndens, cfg.isothermal_temperature)
-        avg_t_0 = temper1_0
-        fixed_rates = rate_coefficients(temper1_0)
-    else:
-        temper1_0 = state.t_final   # temper (slot 2), evolve_point.F90:479
-        avg_t_0 = state.t_av
-        fixed_rates = None
-    temper0 = temper1_0
+def _chem_iteration(cfg: ChemistryConfig, dt, ndens, clumping,
+                    phi_HI, phi_HeI, phi_HeII, phi_heat,
+                    temper0, fixed_rates, cosmo_cool_factor, carry):
+    """One masked chemistry fixed-point iteration
+    (evolve_point.F90:487-640): {electron density -> T-dependent rates
+    -> two doric passes averaged -> thermal} with converged cells
+    frozen.  carry = (ion, temper1, avg_t, active)."""
+    ion, temper1, avg_t, active = carry
+    prev_avg = ion.avg
+    temper2 = temper1
 
     def factors_from(ions: IonFractions):
         # cell columns enter doric only through opacity *ratios*, so the
@@ -80,87 +61,173 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         cche1 = coldens(1.0, ions.he1, ndens, const.abu_he)
         return prepare_doric_factors(cch, cche0, cche1)
 
+    de = electrondens(ndens, ion.avg)
+    rates = (fixed_rates if cfg.isothermal
+             else rate_coefficients(avg_t))
+
+    fac = factors_from(ion.cur)
+    ion1 = doric(dt, de, ion, phi_HI, phi_HeI, phi_HeII, fac, rates,
+                 clumping, cfg.epsilon)
+    de = electrondens(ndens, ion1.avg)
+
+    fac2 = factors_from(ion1.cur)
+    ion2 = doric(dt, de, ion1, phi_HI, phi_HeI, phi_HeII, fac2, rates,
+                 clumping, cfg.epsilon)
+
+    half = lambda a, b: 0.5 * (a + b)
+    cur = IonFractions(*(half(a, b)
+                         for a, b in zip(ion2.cur, ion1.cur)))
+    # reference averages h_av(0), he_av(0), he_av(1) only
+    # (evolve_point.F90:593-595)
+    avg = IonFractions(
+        h0=half(ion2.avg.h0, ion1.avg.h0),
+        h1=ion2.avg.h1,
+        he0=half(ion2.avg.he0, ion1.avg.he0),
+        he1=half(ion2.avg.he1, ion1.avg.he1),
+        he2=ion2.avg.he2,
+    )
+    ion_new = IonState(cur=cur, avg=avg, old=ion.old)
+    de = electrondens(ndens, avg)
+
+    temper1_new = temper0
+    avg_t_new = avg_t
+    if not cfg.isothermal:
+        tr = thermal(dt, temper0, de, ndens, ion_new, phi_heat,
+                     cfg.cooling, cosmo_cool_factor)
+        temper1_new = tr.end_temper
+        avg_t_new = tr.avg_temper
+
+    def conv(new, old):
+        return (jnp.abs((new - old) / new) < MIN_FRACTIONAL_CHANGE) | (
+            new < MIN_FRACTION_OF_ATOMS)
+
+    done = (conv(avg.h0, prev_avg.h0)
+            & conv(avg.he0, prev_avg.he0)
+            & conv(avg.he2, prev_avg.he2)
+            & (jnp.abs((temper1_new - temper2) / temper1_new)
+               < MIN_FRACTIONAL_CHANGE))
+
+    # frozen (converged) cells keep their values
+    keep = lambda new, old: jnp.where(active, new, old)
+    ion_out = jax.tree.map(keep, ion_new, ion)
+    temper1 = keep(temper1_new, temper1)
+    avg_t = keep(avg_t_new, avg_t)
+    active = active & ~done
+    return (ion_out, temper1, avg_t, active)
+
+
+def _chem_setup(cfg: ChemistryConfig, state: GridState):
+    ndens = state.ndens
+    if cfg.isothermal:
+        temper1_0 = jnp.full_like(ndens, cfg.isothermal_temperature)
+        avg_t_0 = temper1_0
+        fixed_rates = rate_coefficients(temper1_0)
+    else:
+        temper1_0 = state.t_final   # temper (slot 2), evolve_point.F90:479
+        avg_t_0 = state.t_av
+        fixed_rates = None
+    return temper1_0, avg_t_0, fixed_rates
+
+
+# jitted host-loop bodies, one per ChemistryConfig instance (the config
+# lives as long as the driver, so this is one compile per run)
+_HOST_BODY_JIT = {}
+
+
+def _host_body(cfg: ChemistryConfig):
+    key = id(cfg)
+    if key not in _HOST_BODY_JIT:
+        def body(dt, ndens, clumping, phi_HI, phi_HeI, phi_HeII,
+                 phi_heat, temper0, ccf, carry):
+            out = _chem_iteration(cfg, dt, ndens, clumping, phi_HI,
+                                  phi_HeI, phi_HeII, phi_heat, temper0,
+                                  None, ccf, carry)
+            return out, jnp.any(out[3])
+
+        _HOST_BODY_JIT[key] = jax.jit(body)
+    return _HOST_BODY_JIT[key]
+
+
+def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
+                         phi_HI, phi_HeI, phi_HeII, phi_heat,
+                         cosmo_cool_factor=None, host_loop=None):
+    """Vectorised do_chemistry with local=.false.
+    (evolve_point.F90:444-646).
+
+    ``cosmo_cool_factor`` = 2 (dz/dt)/(1+z), the adiabatic cosmological
+    cooling factor (cosmology.f90:207-234).  It is time dependent, so
+    cosmological drivers pass it as a *traced* per-step scalar (like
+    `dr` in the sweep) instead of baking it into the config.
+
+    ``host_loop``: run the outer fixed-point loop at the host level,
+    dispatching one jitted iteration per trip, instead of an in-graph
+    ``lax.while_loop``.  REQUIRED on TPU for non-isothermal runs: an
+    XLA:TPU while-loop whose body contains both doric's stiff
+    exponential arithmetic and thermal's nested sub-cycle loop
+    miscompiles into a device kernel fault (round-3 on-chip bisect,
+    tools/fault_bisect*.py -- nothermal passes, nodoric passes, the
+    pair faults at every mesh >= 64^3 regardless of gather layout,
+    rematerialization, barriers, or sub-step chunking; lifting the
+    outer loop to the host is the one structure that runs).  Auto:
+    host level when called outside a trace on a TPU backend with
+    heating on.  Inside jit/shard_map (the virtual-CPU multi-chip
+    paths) the in-graph while_loop is kept.
+
+    Returns (IonState, t_inter, t_av, n_iterations).
+    """
+    if cosmo_cool_factor is None:
+        cosmo_cool_factor = cfg.cosmo_cool_factor
+    ion0 = state.ion_state(cfg.epsilon)
+    ndens = state.ndens
+    clumping = state.clumping
+    dtype = ndens.dtype
+
+    temper1_0, avg_t_0, fixed_rates = _chem_setup(cfg, state)
+    temper0 = temper1_0
+
+    if host_loop is None:
+        host_loop = (not cfg.isothermal
+                     and jax.default_backend() == "tpu"
+                     and not isinstance(ndens, jax.core.Tracer))
+
+    active0 = jnp.ones_like(ndens, dtype=bool)
+    if host_loop:
+        body = _host_body(cfg)
+        ccf = jnp.asarray(cosmo_cool_factor, dtype=dtype)
+        dt = jnp.asarray(dt, dtype=dtype)
+        carry = (ion0, temper1_0, avg_t_0, active0)
+        nit = 0
+        while nit < cfg.max_iter:
+            carry, more = body(dt, ndens, clumping, phi_HI, phi_HeI,
+                               phi_HeII, phi_heat, temper0, ccf, carry)
+            nit += 1
+            if not bool(more):
+                break
+        ion, temper1, avg_t, _ = carry
+        return ion, temper1, avg_t, nit
+
     def cond(carry):
         ion, temper1, avg_t, nit, active = carry
         return jnp.any(active) & (nit < cfg.max_iter)
 
     def body(carry):
         ion, temper1, avg_t, nit, active = carry
-        prev_avg = ion.avg
-        temper2 = temper1
+        out = _chem_iteration(cfg, dt, ndens, clumping, phi_HI,
+                              phi_HeI, phi_HeII, phi_heat, temper0,
+                              fixed_rates, cosmo_cool_factor,
+                              (ion, temper1, avg_t, active))
+        ion, temper1, avg_t, active = out
+        return (ion, temper1, avg_t, nit + 1, active)
 
-        de = electrondens(ndens, ion.avg)
-        rates = (fixed_rates if cfg.isothermal
-                 else rate_coefficients(avg_t))
-
-        fac = factors_from(ion.cur)
-        ion1 = doric(dt, de, ion, phi_HI, phi_HeI, phi_HeII, fac, rates,
-                     clumping, cfg.epsilon)
-        de = electrondens(ndens, ion1.avg)
-
-        fac2 = factors_from(ion1.cur)
-        ion2 = doric(dt, de, ion1, phi_HI, phi_HeI, phi_HeII, fac2, rates,
-                     clumping, cfg.epsilon)
-
-        half = lambda a, b: 0.5 * (a + b)
-        cur = IonFractions(*(half(a, b)
-                             for a, b in zip(ion2.cur, ion1.cur)))
-        # reference averages h_av(0), he_av(0), he_av(1) only
-        # (evolve_point.F90:593-595)
-        avg = IonFractions(
-            h0=half(ion2.avg.h0, ion1.avg.h0),
-            h1=ion2.avg.h1,
-            he0=half(ion2.avg.he0, ion1.avg.he0),
-            he1=half(ion2.avg.he1, ion1.avg.he1),
-            he2=ion2.avg.he2,
-        )
-        ion_new = IonState(cur=cur, avg=avg, old=ion.old)
-        de = electrondens(ndens, avg)
-
-        temper1_new = temper0
-        avg_t_new = avg_t
-        if not cfg.isothermal:
-            tr = thermal(dt, temper0, de, ndens, ion_new, phi_heat,
-                         cfg.cooling, cosmo_cool_factor)
-            temper1_new = tr.end_temper
-            avg_t_new = tr.avg_temper
-
-        def conv(new, old):
-            return (jnp.abs((new - old) / new) < MIN_FRACTIONAL_CHANGE) | (
-                new < MIN_FRACTION_OF_ATOMS)
-
-        done = (conv(avg.h0, prev_avg.h0)
-                & conv(avg.he0, prev_avg.he0)
-                & conv(avg.he2, prev_avg.he2)
-                & (jnp.abs((temper1_new - temper2) / temper1_new)
-                   < MIN_FRACTIONAL_CHANGE))
-
-        # frozen (converged) cells keep their values
-        keep = lambda new, old: jnp.where(active, new, old)
-        ion_out = jax.tree.map(keep, ion_new, ion)
-        temper1 = keep(temper1_new, temper1)
-        avg_t = keep(avg_t_new, avg_t)
-        active = active & ~done
-        return (ion_out, temper1, avg_t, nit + 1, active)
-
-    active0 = jnp.ones_like(ndens, dtype=bool)
     carry = (ion0, temper1_0, avg_t_0, jnp.int32(0), active0)
     ion, temper1, avg_t, nit, _ = jax.lax.while_loop(cond, body, carry)
     return ion, temper1, avg_t, nit
 
 
-def global_chemistry_pass(cfg: ChemistryConfig, state: GridState,
-                          rates: RateGrids, dt, cosmo_cool_factor=None
-                          ) -> Tuple[GridState, jnp.ndarray]:
-    """evolve0D_global over the whole grid (evolve_point.F90:325-440).
-
-    Returns (new state, conv_flag = number of non-converged cells).
-    """
-    ion, t_inter, t_av, _ = _do_chemistry_global(
-        cfg, dt, state, rates.phih, rates.phihe0, rates.phihe1,
-        rates.phiheat, cosmo_cool_factor)
-
-    # global convergence counting (evolve_point.F90:399-424)
+def _finalize_pass(state: GridState, ion: IonState, t_inter, t_av
+                   ) -> Tuple[GridState, jnp.ndarray]:
+    """Global convergence counting + state write-back
+    (evolve_point.F90:399-435)."""
     def big_change(new, old):
         return ((jnp.abs(new - old) > MIN_FRACTIONAL_CHANGE)
                 & (jnp.abs((new - old) / new) > MIN_FRACTIONAL_CHANGE)
@@ -181,3 +248,24 @@ def global_chemistry_pass(cfg: ChemistryConfig, state: GridState,
         t_inter=t_inter, t_av=t_av,
     )
     return new_state, conv_flag
+
+
+_FINALIZE_JIT = jax.jit(_finalize_pass)
+
+
+def global_chemistry_pass(cfg: ChemistryConfig, state: GridState,
+                          rates: RateGrids, dt, cosmo_cool_factor=None,
+                          host_loop=None) -> Tuple[GridState, jnp.ndarray]:
+    """evolve0D_global over the whole grid (evolve_point.F90:325-440).
+
+    Returns (new state, conv_flag = number of non-converged cells).
+    See _do_chemistry_global for the `host_loop` contract (the XLA:TPU
+    nested-loop fault workaround).
+    """
+    ion, t_inter, t_av, _ = _do_chemistry_global(
+        cfg, dt, state, rates.phih, rates.phihe0, rates.phihe1,
+        rates.phiheat, cosmo_cool_factor, host_loop=host_loop)
+
+    if isinstance(state.ndens, jax.core.Tracer):
+        return _finalize_pass(state, ion, t_inter, t_av)
+    return _FINALIZE_JIT(state, ion, t_inter, t_av)

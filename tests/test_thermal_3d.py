@@ -45,3 +45,43 @@ def test_3d_photoheating():
     # beyond the front the gas stays near the initial temperature
     assert T[0, 0, 0] < 5.0 * T0
     assert np.all(np.isfinite(T))
+
+
+def test_host_loop_chemistry_matches_while_loop():
+    """The host-level outer chemistry loop (the XLA:TPU nested-loop
+    fault workaround, global_pass._do_chemistry_global host_loop=True)
+    must reproduce the in-graph lax.while_loop exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from c2ray_tpu.cooling import setup_cooling_tables
+    from c2ray_tpu.state import begin_timestep, initial_grid_state
+    from c2ray_tpu.sweep.global_pass import (ChemistryConfig,
+                                             global_chemistry_pass)
+    from c2ray_tpu.sweep.source_sweep import RateGrids
+
+    M = 8
+    n = M ** 3
+    cfg = ChemistryConfig(cooling=setup_cooling_tables(
+        dtype=jnp.float64), isothermal=False,
+        isothermal_temperature=1.0e4)
+    rng = np.random.RandomState(5)
+    state = begin_timestep(initial_grid_state(
+        np.full((M,) * 3, 1.0e-4), 0.0, 0.0, 0.0, 1.0e4))
+    rates = RateGrids(
+        phih=jnp.asarray(10 ** rng.uniform(-14, -9, n)),
+        phihe0=jnp.asarray(10 ** rng.uniform(-15, -10, n)),
+        phihe1=jnp.asarray(10 ** rng.uniform(-16, -11, n)),
+        phiheat=jnp.asarray(10 ** rng.uniform(-32, -26, n)),
+        photon_loss=jnp.zeros(()), lls_loss=jnp.zeros(()))
+    dt = 1.0e13
+
+    s_while, c_while = global_chemistry_pass(cfg, state, rates, dt,
+                                             host_loop=False)
+    s_host, c_host = global_chemistry_pass(cfg, state, rates, dt,
+                                           host_loop=True)
+    assert int(c_host) == int(c_while)
+    for name in ("h_av1", "he_av2", "t_av", "t_inter"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_host, name)),
+            np.asarray(getattr(s_while, name)), rtol=1e-10,
+            atol=1e-15, err_msg=name)

@@ -36,7 +36,8 @@ from c2ray_tpu.cooling import coolin
 
 VARIANT = sys.argv[1] if len(sys.argv) > 1 else "fullref"
 MESH = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-MAX_SUB = 8
+import os
+MAX_SUB = int(os.environ.get("BISECT_MAX_SUB", 8))
 
 
 def scan_thermal(dt, end_temper, ndens_electron, ndens_atom, ion,
