@@ -98,10 +98,11 @@ def _bench_one(isothermal: bool, n_nodes="auto"):
 
 
 def _run_config(isothermal: bool):
-    """Run one config in a subprocess; fall back from the adaptive
-    quadrature to fixed 8 nodes on failure.  Returns
+    """Run one config in a subprocess; the default fixed 8-node rule
+    first (the on-chip A/B winner, radiation/quadrature.py
+    DEFAULT_NODES), the adaptive band blocks as fallback.  Returns
     (rate_or_None, quad_path, error_or_None)."""
-    for nodes in ("auto", "8"):
+    for nodes in ("8", "auto"):
         cmd = [sys.executable, os.path.abspath(__file__),
                "--one", "iso" if isothermal else "heat", nodes]
         try:

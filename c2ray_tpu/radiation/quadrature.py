@@ -38,8 +38,16 @@ from .sed import (SEDConfig, blackbody_photon_density, normalize_seds,
 # 8 Gauss-Legendre nodes per sub-band: max relative rate error ~2e-8 vs
 # a 64-node reference across tau in [1e-8, 1e7] -- below f32 resolution
 # and far below the reference table's linear-interpolation error, at
-# half the exp cost of 16 nodes (the sweep's dominant VPU work)
-DEFAULT_NODES = "auto"
+# half the exp cost of 16 nodes (the sweep's dominant VPU work).
+#
+# Round-3 on-chip A/B at 128^3 x 8 sources: fixed 8 nodes sustains
+# 68.7M cell-source-updates/s; the "auto" error-budgeted band blocks,
+# despite ~52% fewer exp terms, reach only 30.7M -- the non-uniform
+# block structure defeats XLA's single fused exp/FMA pipeline that the
+# uniform (nlive, K) layout gets.  Fewer FLOPs lost to worse
+# vectorization: the fixed rule is the default; "auto" remains
+# available and accuracy-pinned (tests/test_quadrature_pin.py).
+DEFAULT_NODES = 8
 
 # error budget for the "auto" per-band node counts: max relative error
 # of the band photon/heat integrals vs a 48-node reference, over

@@ -142,10 +142,39 @@ def _host_body(cfg: ChemistryConfig):
             out = _chem_iteration(cfg, dt, ndens, clumping, phi_HI,
                                   phi_HeI, phi_HeII, phi_heat, temper0,
                                   None, ccf, carry)
-            return out, jnp.any(out[3])
+            return out, jnp.sum(out[3].astype(jnp.int32))
 
+        # jax.jit retraces per input shape, so the same cached callable
+        # serves both the full grid and the compacted active subsets
         _HOST_BODY_JIT[key] = jax.jit(body)
     return _HOST_BODY_JIT[key]
+
+
+def _compact_gather(idx, valid, args, carry):
+    """Gather per-cell inputs + carry at the active-cell indices
+    (pad lanes clip to an arbitrary cell and are masked inactive)."""
+    g = lambda a: a.at[idx].get(mode="clip")
+    args_c = tuple(g(a) for a in args)
+    ion, temper1, avg_t, active = carry
+    ion_c = jax.tree.map(g, ion)
+    carry_c = (ion_c, g(temper1), g(avg_t), g(active) & valid)
+    return args_c, carry_c
+
+
+_COMPACT_GATHER_JIT = jax.jit(_compact_gather)
+
+
+def _compact_scatter(idx, carry_full, carry_c):
+    """Scatter a compact carry back into the full grid (pad lanes
+    dropped)."""
+    s = lambda full, comp: full.at[idx].set(comp, mode="drop")
+    ion_f, t1_f, at_f, act_f = carry_full
+    ion_c, t1_c, at_c, act_c = carry_c
+    ion = jax.tree.map(s, ion_f, ion_c)
+    return (ion, s(t1_f, t1_c), s(at_f, at_c), s(act_f, act_c))
+
+
+_COMPACT_SCATTER_JIT = jax.jit(_compact_scatter)
 
 
 def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
@@ -192,17 +221,52 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
 
     active0 = jnp.ones_like(ndens, dtype=bool)
     if host_loop:
+        # Host-dispatched fixed-point loop with active-set compaction:
+        # once the unconverged fraction drops below 1/8, the loop
+        # continues on a gathered compact subset (power-of-two bucket)
+        # and scatters back at the end -- the reference's per-cell
+        # early exit (evolve_point.F90:605-628), which the masked
+        # lockstep otherwise loses, costing ~100x on the convergence
+        # tail of a 128^3 grid with a handful of stiff cells.
         body = _host_body(cfg)
         ccf = jnp.asarray(cosmo_cool_factor, dtype=dtype)
         dt = jnp.asarray(dt, dtype=dtype)
+        n = ndens.size
+        args_full = (ndens, clumping, phi_HI, phi_HeI, phi_HeII,
+                     phi_heat, temper0)
+        if clumping.ndim == 0:
+            args_full = (ndens, jnp.broadcast_to(clumping, ndens.shape),
+                         phi_HI, phi_HeI, phi_HeII, phi_heat, temper0)
         carry = (ion0, temper1_0, avg_t_0, active0)
+        args = args_full
+        carry_full = None
+        idx = None
+        bucket = n
         nit = 0
         while nit < cfg.max_iter:
-            carry, more = body(dt, ndens, clumping, phi_HI, phi_HeI,
-                               phi_HeII, phi_heat, temper0, ccf, carry)
+            carry, cnt = body(dt, *args, ccf, carry)
             nit += 1
-            if not bool(more):
+            count = int(cnt)
+            if count == 0:
                 break
+            if count * 8 <= bucket and count > 0:
+                # (re-)compact to the smallest power-of-two bucket
+                if idx is not None:
+                    carry = _COMPACT_SCATTER_JIT(idx, carry_full, carry)
+                carry_full = carry
+                bucket = max(256, 1 << (count - 1).bit_length())
+                if bucket >= n:
+                    idx = None
+                    args = args_full
+                    continue
+                active = carry[3]
+                idx = jnp.nonzero(active, size=bucket,
+                                  fill_value=n)[0]
+                valid = idx < n
+                args, carry = _COMPACT_GATHER_JIT(idx, valid,
+                                                  args_full, carry)
+        if idx is not None:
+            carry = _COMPACT_SCATTER_JIT(idx, carry_full, carry)
         ion, temper1, avg_t, _ = carry
         return ion, temper1, avg_t, nit
 
