@@ -29,8 +29,21 @@ that.  Here the grid is sharded and only boundary planes move:
   cells and runs on the local slab; only the scalar convergence count
   and photon/LLS losses are psum-reduced.
 
-Per-device memory is ``O(mesh^3 / D + H * mesh^2)``: the framework
-scales past single-chip HBM, which the reference never could.
+Per-device memory is dominated by the halo-extended field and rate
+slabs, ``(S + 2H) * (M + 2H)^2 * (C + 4)`` elements with
+``S = M/D`` and ``H ~ radius + 1`` -- i.e. ``O(mesh^3/D + H*mesh^2)``
+for small radii, so the framework scales past single-chip HBM, which
+the reference never could.  At large radii the halo extension
+dominates: at the full periodic radius H ~ M and the slabs cost
+~19 M^3 * C per device -- MORE than plain replication.  The adaptive
+ladder in `domain_evolve3d` is therefore memory-capped by default at
+the last rung cheaper than the replicated source-parallel engine
+(`domain_memory_elements` vs `replicated_memory_elements`); photons
+still escaping at the capped radius are accounted as photon_loss,
+exactly like the reference's `max_subbox` wall
+(c2ray_parameters.f90:52-56, evolve_source.F90:133-144).  Runs that
+need the full-radius trace should use the replicated source-parallel
+mode (`make_parallel_iteration`), which holds it by construction.
 
 Work distribution: sources are statically assigned to the device
 owning their x-slab (host-side grouping, padded to the max per-slab
@@ -152,8 +165,16 @@ def _pack_groups(srcpos, nflux, assign, n_dev, mesh):
     half = mesh // 2
     for i in range(srcpos.shape[0]):
         d = int(assign[i])
-        # centered periodic offset relative to the slab start
-        off = (int(srcpos[i, 0]) - d * S + half) % mesh - half
+        if n_dev == 1:
+            # S == mesh: the slab is the whole grid, so the absolute
+            # coordinate is the correct (non-negative) window offset;
+            # the centered fold would go negative for x >= mesh/2 and
+            # XLA's dynamic_slice clamp would silently misalign the
+            # trace window
+            off = int(srcpos[i, 0])
+        else:
+            # centered periodic offset relative to the slab start
+            off = (int(srcpos[i, 0]) - d * S + half) % mesh - half
         sp[d, fill[d]] = (off, srcpos[i, 1], srcpos[i, 2])
         nf[d, fill[d]] = nflux[i]
         fill[d] += 1
@@ -234,10 +255,57 @@ def max_domain_radius(mesh: int) -> int:
     return mesh // 2
 
 
+def _window_geometry(M: int, radius: int, extra_halo: int = 0):
+    """(Mw, Rb, H) for a trace radius (the same arithmetic as
+    make_domain_iteration)."""
+    Mw = min(2 * radius + 2, M)
+    Rb = min(radius, Mw // 2 - 1)
+    H = Mw - Rb - 1 + int(extra_halo)
+    return Mw, Rb, H
+
+
+def domain_memory_elements(M: int, D: int, radius: int,
+                           extra_halo: int = 0,
+                           n_channels: int = 5) -> int:
+    """Per-device element count of the domain iteration's dominant live
+    arrays at a given trace radius: the halo-extended field slab
+    (S+2H, M+2H, M+2H, C), the halo-extended rate accumulator (same
+    extents, 4 channels), one trace window (Mw^3 * (C+4)), and the
+    ~20-field grid state slab.  This is the memory model behind the
+    adaptive ladder's cap (see the module docstring): at small radii it
+    is ~M^3*(C+4)/D + O(H*M^2), at the full radius it is ~19*M^3*(C+4)
+    -- far beyond replication."""
+    S = M // D
+    Mw, _, H = _window_geometry(M, radius, extra_halo)
+    halo_extended = (S + 2 * H) * (M + 2 * H) ** 2 * (n_channels + 4)
+    window = Mw ** 3 * (n_channels + 4)
+    state = 20 * M ** 3 // D
+    return halo_extended + window + state
+
+
+def replicated_memory_elements(M: int, n_channels: int = 5) -> int:
+    """Per-device element count of the replicated source-parallel
+    engine: full grid state (~20 fields), full rate grids (4), the
+    stacked sweep field (C), and the full-extent trace working set
+    (~(C+4) M^3 in the pyramid engine)."""
+    return (20 + 4 + n_channels) * M ** 3 + (n_channels + 4) * M ** 3
+
+
 def make_domain_iteration(pcfg: ParallelConfig, radius: int,
-                          extra_halo: int = 0, return_rates: bool = False):
+                          extra_halo: int = 0, return_rates: bool = False,
+                          split_chem: bool = None):
     """One jitted grid-sharded {halo exchange + windowed pyramid sweep
     + reverse rate exchange + local chemistry} iteration.
+
+    `split_chem` lifts the chemistry fixed-point loop out of the
+    sharded program: the sweep + halo exchanges stay one jitted
+    shard_map producing slab-sharded rates, then the host drives one
+    jitted cell-sharded chemistry trip per iteration (global_pass
+    host_loop) -- the state is already P(AXIS)-sharded, so the
+    elementwise chemistry preserves the slab layout without shard_map.
+    REQUIRED for heating on real TPUs (the round-3 bisected XLA:TPU
+    nested-loop fault; see _do_chemistry_global).  Auto: on for
+    heating on a TPU backend.
 
     `radius` (static) is the subbox trace radius, up to M/2 = the full
     periodic trace (window of M planes, extents +M/2 / -(M/2-1) like
@@ -256,6 +324,9 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int,
     """
     cfg = pcfg.cfg
     mesh = pcfg.mesh
+    if split_chem is None:
+        split_chem = (not cfg.chem.isothermal
+                      and jax.default_backend() == "tpu")
     D = mesh.devices.size
     M = cfg.sweep.mesh
     if M % D != 0:
@@ -273,8 +344,8 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int,
     Rb = min(Rw, Mw // 2 - 1)
     H = Mw - Rb - 1 + int(extra_halo)
 
-    def _step_shard(state: GridState, srcpos, nflux, lls_grid, dt, dr,
-                    vol_over_scale, ccf):
+    def _trace_shard(state: GridState, srcpos, nflux, lls_grid, dr,
+                     vol_over_scale):
         dtype = state.ndens.dtype
         eps = cfg.sweep.epsilon
         chans = [state.ndens,
@@ -339,15 +410,21 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int,
         pl = jax.lax.psum(pl, AXIS)
         lls = jax.lax.psum(lls, AXIS)
 
-        rates = RateGrids(phih=rc[:, 0], phihe0=rc[:, 1],
-                          phihe1=rc[:, 2], phiheat=rc[:, 3],
-                          photon_loss=pl, lls_loss=lls)
+        return RateGrids(phih=rc[:, 0], phihe0=rc[:, 1],
+                         phihe1=rc[:, 2], phiheat=rc[:, 3],
+                         photon_loss=pl, lls_loss=lls)
+
+    def _step_shard(state: GridState, srcpos, nflux, lls_grid, dt, dr,
+                    vol_over_scale, ccf):
+        rates = _trace_shard(state, srcpos, nflux, lls_grid, dr,
+                             vol_over_scale)
         new_state, conv = global_chemistry_pass(cfg.chem, state, rates,
                                                 dt, ccf)
         conv = jax.lax.psum(conv, AXIS)
         if return_rates:
-            return new_state, conv, pl, lls, rates
-        return new_state, conv, pl, lls
+            return new_state, conv, rates.photon_loss, rates.lls_loss, \
+                rates
+        return new_state, conv, rates.photon_loss, rates.lls_loss
 
     rates_spec = RateGrids(phih=P(AXIS), phihe0=P(AXIS),
                            phihe1=P(AXIS), phiheat=P(AXIS),
@@ -363,13 +440,13 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int,
         return partial(shard_map, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs)(_step_shard)
 
-    shard_plain = _wrap(False)
-    shard_lls = _wrap(True)
+    def _wrap_trace(with_lls):
+        in_specs = (P(AXIS), P(AXIS), P(AXIS),
+                    P(AXIS) if with_lls else None, P(), P())
+        return partial(shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=rates_spec)(_trace_shard)
 
-    @jax.jit
-    def iteration(state: GridState, srcpos, nflux, dt, dr=None,
-                  vol_over_scale=None, cosmo_cool_factor=None,
-                  lls_grid=None):
+    def _defaults(state, dr, vol_over_scale, cosmo_cool_factor):
         dtype = state.ndens.dtype
         if dr is None:
             dr = jnp.asarray(cfg.sweep.dr, dtype=dtype)
@@ -378,6 +455,44 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int,
         if cosmo_cool_factor is None:
             cosmo_cool_factor = jnp.asarray(cfg.chem.cosmo_cool_factor,
                                             dtype=dtype)
+        return dr, vol_over_scale, cosmo_cool_factor
+
+    if split_chem:
+        trace_plain = jax.jit(_wrap_trace(False))
+        trace_lls = jax.jit(_wrap_trace(True))
+
+        def iteration(state: GridState, srcpos, nflux, dt, dr=None,
+                      vol_over_scale=None, cosmo_cool_factor=None,
+                      lls_grid=None):
+            dr, vol_over_scale, ccf = _defaults(
+                state, dr, vol_over_scale, cosmo_cool_factor)
+            st = state
+            if st.clumping.ndim == 0:
+                st = st._replace(clumping=jax.device_put(
+                    jnp.broadcast_to(st.clumping, st.ndens.shape),
+                    NamedSharding(mesh, P(AXIS))))
+            fn = trace_plain if lls_grid is None else trace_lls
+            rates = fn(st, srcpos, nflux, lls_grid, dr, vol_over_scale)
+            # host-driven chemistry on the slab-sharded state: the
+            # elementwise trips keep every array P(AXIS)-sharded
+            new_state, conv = global_chemistry_pass(
+                cfg.chem, st, rates, dt, ccf, host_loop=True)
+            if return_rates:
+                return (new_state, conv, rates.photon_loss,
+                        rates.lls_loss, rates)
+            return new_state, conv, rates.photon_loss, rates.lls_loss
+
+        return iteration
+
+    shard_plain = _wrap(False)
+    shard_lls = _wrap(True)
+
+    @jax.jit
+    def iteration(state: GridState, srcpos, nflux, dt, dr=None,
+                  vol_over_scale=None, cosmo_cool_factor=None,
+                  lls_grid=None):
+        dr, vol_over_scale, cosmo_cool_factor = _defaults(
+            state, dr, vol_over_scale, cosmo_cool_factor)
         st = state
         if st.clumping.ndim == 0:
             st = st._replace(clumping=jnp.broadcast_to(
@@ -389,16 +504,36 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int,
     return iteration
 
 
-def _domain_radii(cfg):
-    """The dyadic subbox ladder, now identical to the single-chip
-    ladder (the full radius M/2 is supported since the window may span
-    the whole torus)."""
+def _domain_radii(cfg, n_dev: int = 1, extra_halo: int = 0,
+                  cap_memory: bool = True):
+    """The dyadic subbox ladder for the domain mode.
+
+    With `cap_memory` (the default) the ladder stops at the last rung
+    whose per-device memory (`domain_memory_elements`) stays below the
+    replicated engine's (`replicated_memory_elements`): beyond that the
+    halo extension costs MORE than replication, defeating the mode's
+    purpose, and a 512^3/8 run escalating to the full radius would OOM
+    long before the replicated engine.  Photons still escaping at the
+    capped radius are accounted as photon_loss -- the reference's own
+    `max_subbox` wall behavior (evolve_source.F90:133-144).  Pass
+    `cap_memory=False` (or an explicit `radius`) to force larger
+    windows up to the full periodic extent."""
     from ..sweep.evolve3d import _subbox_radii
 
-    rmax = max_domain_radius(cfg.sweep.mesh)
+    M = cfg.sweep.mesh
+    rmax = max_domain_radius(M)
     radii = [r for r in _subbox_radii(cfg) if r <= rmax]
     if not radii or radii[-1] < rmax:
         radii.append(rmax)
+    if cap_memory and n_dev > 1:
+        budget = replicated_memory_elements(M)
+        capped = [r for r in radii
+                  if domain_memory_elements(M, n_dev, r, extra_halo)
+                  <= budget]
+        if capped:
+            radii = capped
+        else:
+            radii = radii[:1]
     return radii
 
 
@@ -408,7 +543,8 @@ def domain_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                     initial_radius=None, lls_grid=None,
                     balance_halo: int = 0,
                     dump_dir=None, dump_interval_s=900.0,
-                    start_from_dump=False):
+                    start_from_dump=False, split_chem=None,
+                    cap_memory: bool = True):
     """Grid-sharded evolve3D: the reference's convergence protocol
     (evolve.F90:147-181) over the domain-decomposed sweep, with the
     adaptive expanding subbox (evolve_source.F90:114-144) growing the
@@ -429,6 +565,11 @@ def domain_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
     written to alternating iterdump slots; `start_from_dump=True`
     resumes mid-timestep (evolve.F90:279-367), re-sharding the restored
     state over the device mesh.
+
+    `cap_memory` (default True) stops the adaptive ladder at the last
+    rung whose per-device memory stays below the replicated engine's
+    (see _domain_radii); photons escaping the capped window count as
+    photon_loss, like the reference's max_subbox wall.
     """
     import time as _time
 
@@ -451,17 +592,17 @@ def domain_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
     want_rates = dump_dir is not None
 
     def iteration_at(r):
-        key = (r, balance_halo, "rates") if want_rates \
-            else (r, balance_halo)
+        key = (r, balance_halo, want_rates, split_chem)
         if key not in iteration_cache:
             iteration_cache[key] = make_domain_iteration(
                 pcfg, r, extra_halo=balance_halo,
-                return_rates=want_rates)
+                return_rates=want_rates, split_chem=split_chem)
         return iteration_cache[key]
 
     adaptive = radius is None and cfg.use_subbox
     if adaptive:
-        radii = _domain_radii(cfg)
+        radii = _domain_radii(cfg, n_dev=n_dev, extra_halo=balance_halo,
+                              cap_memory=cap_memory)
         total_strength = _scaled_source_strength(cfg.sweep, nflux)
         loss_wall = cfg.min_fraction_of_photons * max(total_strength,
                                                       1e-300)

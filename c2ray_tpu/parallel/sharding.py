@@ -32,7 +32,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..state import GridState
@@ -66,8 +66,9 @@ def pad_sources(srcpos, nflux, n_devices: int):
 
 
 def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None,
-                            return_rates: bool = False):
-    """One jitted sharded {source sweep + global chemistry} iteration.
+                            return_rates: bool = False,
+                            split_chem: bool = None):
+    """One sharded {source sweep + global chemistry} iteration.
 
     Input sharding: grid state replicated for the sweep, sources sharded
     over the device axis; chemistry re-shards the cell axis.
@@ -78,9 +79,24 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None,
     runs never recompile (cosmo_evol, cosmology.f90:159-202).
     `return_rates` additionally returns the psum-reduced RateGrids for
     the mid-iteration checkpoint path (evolve.F90:233-275).
+
+    `split_chem` lifts the chemistry fixed-point loop OUT of the fused
+    sharded program: the sweep stays one jitted shard_map, then the
+    host drives one jitted *cell-sharded* chemistry trip per iteration
+    (global_pass host_loop).  REQUIRED for non-isothermal runs on real
+    TPUs: an in-graph while_loop holding both doric and thermal
+    miscompiles to a device kernel fault (round-3 bisect; see
+    _do_chemistry_global).  The chemistry is elementwise over cells, so
+    jit with P(AXIS)-sharded inputs preserves the spatial distribution
+    without shard_map -- only the convergence count crosses devices.
+    Auto: on for heating on a TPU backend, off otherwise (CPU tests pin
+    both paths equal).
     """
     cfg = pcfg.cfg
     mesh = pcfg.mesh
+    if split_chem is None:
+        split_chem = (not cfg.chem.isothermal
+                      and jax.default_backend() == "tpu")
 
     full_extent = cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1)
     engine = getattr(cfg, "engine", "pyramid") if full_extent else "shells"
@@ -124,10 +140,7 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None,
                                                 dt, cosmo_cool_factor)
         return new_state, jax.lax.psum(conv, AXIS)
 
-    @jax.jit
-    def iteration(state: GridState, srcpos, nflux, dt, dr=None,
-                  vol_over_scale=None, cosmo_cool_factor=None,
-                  lls_grid=None):
+    def _defaults(state, dr, vol_over_scale, cosmo_cool_factor):
         dtype = state.ndens.dtype
         if dr is None:
             dr = jnp.asarray(cfg.sweep.dr, dtype=dtype)
@@ -136,14 +149,61 @@ def make_parallel_iteration(pcfg: ParallelConfig, radius: int = None,
         if cosmo_cool_factor is None:
             cosmo_cool_factor = jnp.asarray(cfg.chem.cosmo_cool_factor,
                                             dtype=dtype)
+        return dr, vol_over_scale, cosmo_cool_factor
+
+    def _run_sweep(state, srcpos, nflux, dr, vol_over_scale, lls_grid):
         fields = SourceFields(
             ndens=state.ndens,
             h_av0=state.h_av0, h_av1=state.h_av1,
             he_av0=state.he_av0, he_av1=state.he_av1,
         )
         sweep_fn = sweep_plain if lls_grid is None else sweep_lls
-        rates = sweep_fn(fields, srcpos, nflux, dr, vol_over_scale,
-                         lls_grid)
+        return sweep_fn(fields, srcpos, nflux, dr, vol_over_scale,
+                        lls_grid)
+
+    if split_chem:
+        sweep_jit = jax.jit(_run_sweep)
+        cell_sharding = NamedSharding(mesh, P(AXIS))
+
+        def iteration(state: GridState, srcpos, nflux, dt, dr=None,
+                      vol_over_scale=None, cosmo_cool_factor=None,
+                      lls_grid=None):
+            dr, vol_over_scale, ccf = _defaults(
+                state, dr, vol_over_scale, cosmo_cool_factor)
+            rates = sweep_jit(state, srcpos, nflux, dr, vol_over_scale,
+                              lls_grid)
+            st = state
+            if st.clumping.ndim == 0:
+                st = st._replace(clumping=jnp.broadcast_to(
+                    st.clumping, st.ndens.shape))
+            # shard the cell axis for the chemistry loop: each device
+            # solves mesh^3/D cells; elementwise ops preserve the
+            # layout, the trip's convergence count reduces globally
+            shard_cells = lambda x: jax.device_put(x, cell_sharding)
+            st = jax.tree.map(shard_cells, st)
+            rates_c = rates._replace(
+                phih=shard_cells(rates.phih),
+                phihe0=shard_cells(rates.phihe0),
+                phihe1=shard_cells(rates.phihe1),
+                phiheat=shard_cells(rates.phiheat))
+            new_state, conv_flag = global_chemistry_pass(
+                cfg.chem, st, rates_c, dt, ccf, host_loop=True)
+            if return_rates:
+                return (new_state, conv_flag, rates.photon_loss,
+                        rates.lls_loss, rates)
+            return (new_state, conv_flag, rates.photon_loss,
+                    rates.lls_loss)
+
+        return iteration
+
+    @jax.jit
+    def iteration(state: GridState, srcpos, nflux, dt, dr=None,
+                  vol_over_scale=None, cosmo_cool_factor=None,
+                  lls_grid=None):
+        dr, vol_over_scale, cosmo_cool_factor = _defaults(
+            state, dr, vol_over_scale, cosmo_cool_factor)
+        rates = _run_sweep(state, srcpos, nflux, dr, vol_over_scale,
+                           lls_grid)
         # clumping may be a scalar; broadcast so the cell axis shards
         st = state
         if st.clumping.ndim == 0:
@@ -165,7 +225,7 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                       cosmo_cool_factor=None, iteration_cache=None,
                       initial_radius=None, lls_grid=None,
                       dump_dir=None, dump_interval_s=900.0,
-                      start_from_dump=False):
+                      start_from_dump=False, split_chem=None):
     """Sharded evolve3D: same convergence protocol as the single-chip
     path (evolve.F90:147-181), including the adaptive expanding subbox
     (evolve_source.F90:114-144) and traced per-step `dr` /
@@ -184,6 +244,11 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
 
     cfg = pcfg.cfg
     n_dev = pcfg.mesh.devices.size
+    if iteration_fn is not None and dump_dir is not None:
+        raise ValueError(
+            "dump_dir requires the internally-built iteration "
+            "(return_rates=True); pass dump_dir OR iteration_fn, not "
+            "both")
     srcpos, nflux = pad_sources(np.asarray(srcpos), np.asarray(nflux),
                                 n_dev)
     srcpos = jnp.asarray(srcpos)
@@ -199,11 +264,11 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
         radii = _subbox_radii(cfg)
 
         def iteration_at(r):
-            key = (r, "rates") if want_rates else r
+            key = (r, want_rates, split_chem)
             if key not in iteration_cache:
                 iteration_cache[key] = make_parallel_iteration(
                     pcfg, radius=None if r == radii[-1] else r,
-                    return_rates=want_rates)
+                    return_rates=want_rates, split_chem=split_chem)
             return iteration_cache[key]
 
         total_strength = _scaled_source_strength(cfg.sweep, nflux)
@@ -215,10 +280,10 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
                    and radii[r_idx] < initial_radius):
                 r_idx += 1
     elif iteration_fn is None:
-        key = ("full", "rates") if want_rates else "full"
+        key = ("full", want_rates, split_chem)
         if key not in iteration_cache:
             iteration_cache[key] = make_parallel_iteration(
-                pcfg, return_rates=want_rates)
+                pcfg, return_rates=want_rates, split_chem=split_chem)
         iteration_fn = iteration_cache[key]
 
     n = state.mesh3

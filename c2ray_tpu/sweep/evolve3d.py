@@ -222,6 +222,13 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
     """
     import time as _time
 
+    if iteration_fn is not None and dump_dir is not None:
+        # the dump path reads out[4] (the rate grids), which only an
+        # iteration built with return_rates=True provides
+        raise ValueError(
+            "dump_dir requires the internally-built iteration "
+            "(return_rates=True); pass dump_dir OR iteration_fn, not "
+            "both")
     adaptive = (iteration_fn is None and cfg.use_subbox
                 and cfg.engine == "pyramid"
                 and cfg.shells.lo[0] == -(cfg.sweep.mesh // 2 - 1))

@@ -10,11 +10,14 @@ inside a masked `lax.while_loop` (per-cell convergence, cap 400
 iterations, evolve_point.F90:487-640).
 """
 
+import hashlib
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as const
 from ..chemistry import (IonFractions, IonState, coldens, doric,
@@ -129,25 +132,55 @@ def _chem_setup(cfg: ChemistryConfig, state: GridState):
     return temper1_0, avg_t_0, fixed_rates
 
 
-# jitted host-loop bodies, one per ChemistryConfig instance (the config
-# lives as long as the driver, so this is one compile per run)
-_HOST_BODY_JIT = {}
+# jitted host-loop bodies, LRU-cached by the config's VALUE: an
+# id(cfg)-keyed cache could silently serve a dead config's body after
+# garbage collection + id reuse (two sequential Run3Ds in one process)
+_HOST_BODY_JIT = OrderedDict()
+_HOST_BODY_CACHE_MAX = 16
+
+
+def _cooling_fingerprint(cooling):
+    """Hashable content fingerprint of a CoolingTables pytree (five
+    801-point arrays -- hashing them is microseconds)."""
+    if cooling is None:
+        return None
+    parts = []
+    for a in cooling:
+        b = np.asarray(a)
+        parts.append((str(b.dtype), b.shape,
+                      hashlib.md5(b.tobytes()).hexdigest()))
+    return tuple(parts)
+
+
+def _config_key(cfg: ChemistryConfig):
+    return (cfg.isothermal, cfg.epsilon, cfg.cosmo_cool_factor,
+            cfg.isothermal_temperature, cfg.max_iter,
+            _cooling_fingerprint(cfg.cooling))
 
 
 def _host_body(cfg: ChemistryConfig):
-    key = id(cfg)
-    if key not in _HOST_BODY_JIT:
+    key = _config_key(cfg)
+    fn = _HOST_BODY_JIT.pop(key, None)
+    if fn is None:
         def body(dt, ndens, clumping, phi_HI, phi_HeI, phi_HeII,
                  phi_heat, temper0, ccf, carry):
+            # isothermal host loops need the fixed T-independent rates
+            # the in-graph path precomputes (cgsconstants.f90:270-289);
+            # temper0 is the constant isothermal temperature grid
+            fixed = (rate_coefficients(temper0) if cfg.isothermal
+                     else None)
             out = _chem_iteration(cfg, dt, ndens, clumping, phi_HI,
                                   phi_HeI, phi_HeII, phi_heat, temper0,
-                                  None, ccf, carry)
+                                  fixed, ccf, carry)
             return out, jnp.sum(out[3].astype(jnp.int32))
 
         # jax.jit retraces per input shape, so the same cached callable
         # serves both the full grid and the compacted active subsets
-        _HOST_BODY_JIT[key] = jax.jit(body)
-    return _HOST_BODY_JIT[key]
+        fn = jax.jit(body)
+    _HOST_BODY_JIT[key] = fn  # (re-)insert = LRU touch
+    while len(_HOST_BODY_JIT) > _HOST_BODY_CACHE_MAX:
+        _HOST_BODY_JIT.popitem(last=False)
+    return fn
 
 
 def _compact_gather(idx, valid, args, carry):
@@ -243,18 +276,34 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         idx = None
         bucket = n
         nit = 0
+        # Depth-2 dispatch pipeline: trip k+1 is enqueued before the
+        # host blocks on trip k's convergence count, so the device
+        # never idles on the host<->device round trip (through the
+        # tunnel the RTT can rival a whole small trip).  The extra
+        # trip dispatched past convergence is numerically a no-op (an
+        # empty active mask keeps every value).
+        pending = []
         while nit < cfg.max_iter:
             carry, cnt = body(dt, *args, ccf, carry)
             nit += 1
-            count = int(cnt)
+            pending.append(cnt)
+            if len(pending) < 2 and nit < cfg.max_iter:
+                continue
+            count = int(pending.pop(0))
             if count == 0:
+                pending.clear()
                 break
-            if count * 8 <= bucket and count > 0:
-                # (re-)compact to the smallest power-of-two bucket
+            # (re-)compact to the smallest power-of-two bucket -- but
+            # only when it actually shrinks (the 256 floor otherwise
+            # forces a full-grid scatter+nonzero+gather on every trip
+            # of the convergence tail once count <= 32)
+            new_bucket = max(256, 1 << (count - 1).bit_length())
+            if count * 8 <= bucket and new_bucket < bucket:
+                pending.clear()  # drain before reshaping the work set
                 if idx is not None:
                     carry = _COMPACT_SCATTER_JIT(idx, carry_full, carry)
                 carry_full = carry
-                bucket = max(256, 1 << (count - 1).bit_length())
+                bucket = new_bucket
                 if bucket >= n:
                     idx = None
                     args = args_full
@@ -265,6 +314,9 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
                 valid = idx < n
                 args, carry = _COMPACT_GATHER_JIT(idx, valid,
                                                   args_full, carry)
+        while pending:
+            if int(pending.pop(0)) == 0:
+                break
         if idx is not None:
             carry = _COMPACT_SCATTER_JIT(idx, carry_full, carry)
         ion, temper1, avg_t, _ = carry

@@ -1,12 +1,56 @@
-"""Bisect the TPU device fault in the heating chemistry pass.
+"""The XLA:TPU nested-loop kernel-fault bisect: ladder summary + probes.
 
-Variants of _do_chemistry_global's while-loop body, toggled from the
-command line, all at mesh 64^3 f32 (the smallest faulting size):
-  full        -- the real body (expected: device fault)
-  nothermal   -- heating rates traced but thermal() skipped
-  fixedrates  -- thermal on, but rate_coefficients hoisted out of loop
-  nodoric     -- thermal on, doric replaced with a trivial update
-  shortthermal -- thermal on with max_substeps=8
+Round 2's heating bench died with a TPU device kernel fault.  Round 3
+isolated it with a six-stage on-chip bisect (this file consolidates the
+six one-off stage scripts; their conclusions are encoded in the
+shipping code at cooling.py:120-163 and global_pass.py host_loop).
+
+THE LADDER (each stage ran on the real chip at 64^3-128^3 f32):
+
+  stage 1 (chemistry-loop variants): the in-graph outer while_loop
+    faults with the full body; passes with thermal() skipped
+    ('nothermal') and with doric replaced by a trivial update
+    ('nodoric'); still faults with rate_coefficients hoisted and with
+    thermal capped at 8 sub-steps.  => the fault needs BOTH doric and
+    thermal in one while body; neither alone.
+  stage 2 (thermal internals): jit(thermal) alone at 64^3 passes; a
+    trivial 1-trip outer loop around thermal passes; the
+    chemistry-shaped outer loop with doric skipped passes; replacing
+    coolin()'s table lookup with a constant makes the FULL body pass.
+    => the cooling-table gather inside the doubly-nested loop is one
+    ingredient.
+  stage 3 (structural workarounds on the full body): nocool passes;
+    jax.checkpoint around thermal or doric still faults; thermal's
+    inner while -> masked 8-step scan still faults; an
+    optimization_barrier between doric and thermal still faults.
+    => no in-graph restructuring of the outer loop survives.
+  stage 4 (gather restructurings, monkeypatching coolin): a single
+    stacked (801,5)-table gather still faults (and lowers to a ~3.6x
+    slower serialized loop); gather with explicit clip semantics
+    faults; the two-hot (cells,801)@(801,5) MXU matmul interpolation
+    PASSES and is fast.  => SHIPPED as cooling.py:120-163.
+  stage 5 (bench-shape halves): with the MXU coolin, the heating sweep
+    alone runs (50M cell-src-updates/s at 128^3x8); the chemistry pass
+    alone STILL faults at >= 64^3 with cap 10000 (passes only with the
+    outer loop unrolled to <= 8 trips).  => the remaining fault is the
+    outer-while x thermal-while nesting itself.
+  stage 6 (shippable workarounds): 8 masked thermal sub-steps per
+    while iteration (fatter body, fewer trips) faults; disabling XLA
+    while-loop double-buffering faults; dispatching the outer loop
+    from the HOST (jitted body holds only thermal's single while)
+    PASSES, 52 ms/trip steady at 64^3.  => SHIPPED as
+    global_pass.py _do_chemistry_global(host_loop=True), auto-enabled
+    on TPU heating runs and used by the split-chem parallel paths.
+
+Remaining probes (re-runnable):
+
+  python tools/fault_bisect.py repro [mesh]   # in-graph pass: expect
+                                              # DEVICE FAULT on TPU
+  python tools/fault_bisect.py fixed [mesh]   # host-loop pass: expect
+                                              # PASS (the shipped path)
+  python tools/fault_bisect.py gather [mesh]  # coolin A/B: MXU matmul
+                                              # vs gather inside the
+                                              # fused loop
 """
 
 import sys
@@ -18,131 +62,87 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from c2ray_tpu.chemistry import (IonFractions, IonState, coldens, doric,
-                                 electrondens, prepare_doric_factors)
-from c2ray_tpu.cooling import setup_cooling_tables
-from c2ray_tpu.rates import rate_coefficients
-from c2ray_tpu.state import initial_grid_state
-from c2ray_tpu.sweep.global_pass import (MAX_CHEM_ITER,
-                                         MIN_FRACTION_OF_ATOMS,
-                                         MIN_FRACTIONAL_CHANGE)
-from c2ray_tpu.thermal import thermal
-from c2ray_tpu import constants as const
 
-VARIANT = sys.argv[1] if len(sys.argv) > 1 else "full"
-MESH = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+def _problem(mesh):
+    from c2ray_tpu.cooling import setup_cooling_tables
+    from c2ray_tpu.state import begin_timestep, initial_grid_state
+    from c2ray_tpu.sweep.global_pass import ChemistryConfig
+    from c2ray_tpu.sweep.source_sweep import RateGrids
 
-
-def run():
-    dtype = jnp.float32
-    n = MESH ** 3
-    cooling = setup_cooling_tables(dtype=dtype)
+    dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    n = mesh ** 3
     rng = np.random.RandomState(7)
-    state = initial_grid_state(np.full((MESH,) * 3, 1e-4), 0., 0., 0.,
-                               1e4, dtype=dtype)
-    phi_HI = jnp.asarray(10 ** rng.uniform(-14, -9, n), dtype)
-    phi_HeI = phi_HI * 0.1
-    phi_HeII = phi_HI * 0.01
-    phi_heat = jnp.asarray(10 ** rng.uniform(-35, -25, n), dtype)
-    dt = jnp.asarray(1e14, dtype)
-    ndens = state.ndens
-    clumping = state.clumping
-    eps = 1e-20
+    state = begin_timestep(initial_grid_state(
+        np.full((mesh,) * 3, 1e-4), 0., 0., 0., 1e2, dtype=dtype))
+    rates = RateGrids(
+        phih=jnp.asarray(10 ** rng.uniform(-14, -9, n), dtype),
+        phihe0=jnp.asarray(10 ** rng.uniform(-15, -10, n), dtype),
+        phihe1=jnp.asarray(10 ** rng.uniform(-16, -11, n), dtype),
+        phiheat=jnp.asarray(10 ** rng.uniform(-32, -26, n), dtype),
+        photon_loss=jnp.zeros((), dtype),
+        lls_loss=jnp.zeros((), dtype))
+    cfg = ChemistryConfig(cooling=setup_cooling_tables(dtype=dtype),
+                          isothermal=False)
+    return cfg, state, rates, jnp.asarray(1e13, dtype)
 
-    max_sub = 8 if VARIANT == "shortthermal" else 10000
 
-    def chem(state):
-        ion0 = state.ion_state(eps)
-        temper0 = state.t_final
-        avg_t_0 = state.t_av
-        hoisted = rate_coefficients(avg_t_0)
+def probe(variant, mesh):
+    from c2ray_tpu.sweep.global_pass import global_chemistry_pass
 
-        def factors_from(ions):
-            cch = coldens(1.0, ions.h0, ndens, 1.0 - const.abu_he)
-            cche0 = coldens(1.0, ions.he0, ndens, const.abu_he)
-            cche1 = coldens(1.0, ions.he1, ndens, const.abu_he)
-            return prepare_doric_factors(cch, cche0, cche1)
-
-        def cond(c):
-            ion, t1, avt, nit, act = c
-            return jnp.any(act) & (nit < MAX_CHEM_ITER)
-
-        def body(c):
-            ion, temper1, avg_t, nit, active = c
-            prev_avg = ion.avg
-            temper2 = temper1
-            de = electrondens(ndens, ion.avg)
-            rates = (hoisted if VARIANT == "fixedrates"
-                     else rate_coefficients(avg_t))
-            if VARIANT == "nodoric":
-                newfrac = jnp.clip(
-                    ion.avg.h1 + phi_HI * dt * 1e-18, 0.0, 1.0)
-                cur = IonFractions(h0=1.0 - newfrac, h1=newfrac,
-                                   he0=ion.cur.he0, he1=ion.cur.he1,
-                                   he2=ion.cur.he2)
-                ion_new = IonState(cur=cur, avg=cur, old=ion.old)
-            else:
-                fac = factors_from(ion.cur)
-                ion1 = doric(dt, de, ion, phi_HI, phi_HeI, phi_HeII,
-                             fac, rates, clumping, eps)
-                de = electrondens(ndens, ion1.avg)
-                fac2 = factors_from(ion1.cur)
-                ion2 = doric(dt, de, ion1, phi_HI, phi_HeI, phi_HeII,
-                             fac2, rates, clumping, eps)
-                half = lambda a, b: 0.5 * (a + b)
-                cur = IonFractions(*(half(a, b) for a, b in
-                                     zip(ion2.cur, ion1.cur)))
-                avg = IonFractions(
-                    h0=half(ion2.avg.h0, ion1.avg.h0), h1=ion2.avg.h1,
-                    he0=half(ion2.avg.he0, ion1.avg.he0),
-                    he1=half(ion2.avg.he1, ion1.avg.he1),
-                    he2=ion2.avg.he2)
-                ion_new = IonState(cur=cur, avg=avg, old=ion.old)
-            de = electrondens(ndens, ion_new.avg)
-
-            if VARIANT == "nothermal":
-                temper1_new = temper1
-                avg_t_new = avg_t
-            else:
-                tr = thermal(dt, temper0, de, ndens, ion_new, phi_heat,
-                             cooling, 0.0, max_substeps=max_sub)
-                temper1_new = tr.end_temper
-                avg_t_new = tr.avg_temper
-
-            def convf(new, old):
-                return (jnp.abs((new - old) / new)
-                        < MIN_FRACTIONAL_CHANGE) | (
-                            new < MIN_FRACTION_OF_ATOMS)
-
-            done = (convf(ion_new.avg.h0, prev_avg.h0)
-                    & convf(ion_new.avg.he0, prev_avg.he0)
-                    & convf(ion_new.avg.he2, prev_avg.he2)
-                    & (jnp.abs((temper1_new - temper2)
-                               / jnp.maximum(temper1_new, 1.0))
-                       < MIN_FRACTIONAL_CHANGE))
-            keep = lambda new, old: jnp.where(active, new, old)
-            ion_out = jax.tree.map(keep, ion_new, ion)
-            temper1 = keep(temper1_new, temper1)
-            avg_t = keep(avg_t_new, avg_t)
-            active = active & ~done
-            return (ion_out, temper1, avg_t, nit + 1, active)
-
-        active0 = jnp.ones_like(ndens, dtype=bool)
-        carry = (ion0, state.t_final, avg_t_0, jnp.int32(0), active0)
-        ion, t1, avt, nit, _ = jax.lax.while_loop(cond, body, carry)
-        return avt, nit
-
-    f = jax.jit(chem)
+    cfg, state, rates, dt = _problem(mesh)
+    host = variant == "fixed"
     t0 = time.time()
-    avt, nit = f(state)
-    jax.block_until_ready(avt)
-    print(f"{VARIANT} mesh={MESH} OK compile+run {time.time()-t0:.1f}s "
-          f"iters {int(nit)}")
+    s, conv = global_chemistry_pass(cfg, state, rates, dt,
+                                    host_loop=host)
+    jax.block_until_ready(s.t_av)
+    print(f"{variant} mesh={mesh} OK "
+          f"compile+run {time.time() - t0:.1f}s conv={int(conv)}")
     t0 = time.time()
-    avt, nit = f(state)
-    jax.block_until_ready(avt)
-    print(f"{VARIANT} steady {time.time()-t0:.2f}s")
+    s, conv = global_chemistry_pass(cfg, state, rates, dt,
+                                    host_loop=host)
+    jax.block_until_ready(s.t_av)
+    print(f"{variant} steady {time.time() - t0:.2f}s")
+
+
+def probe_gather(mesh):
+    """A/B the two coolin interpolation paths inside a thermal call
+    (stage-4's surviving comparison)."""
+    from c2ray_tpu import thermal as thermal_mod
+    from c2ray_tpu.chemistry import electrondens
+
+    cfg, state, rates, dt = _problem(mesh)
+    ion = state.ion_state()
+    de = electrondens(state.ndens, ion.avg)
+
+    for use_matmul in (True, False):
+        import functools
+
+        from c2ray_tpu import cooling as cooling_mod
+
+        coolfn = functools.partial(cooling_mod.coolin,
+                                   use_matmul=use_matmul)
+        f = jax.jit(lambda t0: thermal_mod.thermal(
+            dt, t0, de, state.ndens, ion, rates.phiheat, cfg.cooling,
+            0.0))
+        try:
+            t0 = time.time()
+            r = f(state.t_final)
+            jax.block_until_ready(r.end_temper)
+            el = time.time() - t0
+            t0 = time.time()
+            r = f(state.t_final)
+            jax.block_until_ready(r.end_temper)
+            print(f"gather matmul={use_matmul} mesh={mesh} OK "
+                  f"compile {el:.1f}s steady {time.time() - t0:.2f}s")
+        except Exception as e:  # pragma: no cover - device fault path
+            print(f"gather matmul={use_matmul} mesh={mesh} "
+                  f"FAULT: {type(e).__name__}")
 
 
 if __name__ == "__main__":
-    run()
+    variant = sys.argv[1] if len(sys.argv) > 1 else "fixed"
+    mesh = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    if variant == "gather":
+        probe_gather(mesh)
+    else:
+        probe(variant, mesh)
