@@ -158,8 +158,17 @@ def _config_key(cfg: ChemistryConfig):
             _cooling_fingerprint(cfg.cooling))
 
 
-def _host_body(cfg: ChemistryConfig):
-    key = _config_key(cfg)
+def _host_body(cfg: ChemistryConfig, k: int = 1):
+    """Jitted host-loop body running `k` masked chemistry iterations
+    per dispatch (a PYTHON-unrolled sequence -- no outer lax loop, so
+    the XLA:TPU nested-while fault structure never appears).  k > 1 is
+    used on the compacted convergence tail, where a trip's device
+    compute is microseconds and the per-dispatch round trip through
+    the device tunnel (~25 ms) is the entire cost: unrolling k trips
+    into one program cuts the RPC count k-fold with bit-identical
+    per-cell numerics (converged cells are frozen by the active
+    mask)."""
+    key = (_config_key(cfg), k)
     fn = _HOST_BODY_JIT.pop(key, None)
     if fn is None:
         def body(dt, ndens, clumping, phi_HI, phi_HeI, phi_HeII,
@@ -169,10 +178,12 @@ def _host_body(cfg: ChemistryConfig):
             # temper0 is the constant isothermal temperature grid
             fixed = (rate_coefficients(temper0) if cfg.isothermal
                      else None)
-            out = _chem_iteration(cfg, dt, ndens, clumping, phi_HI,
-                                  phi_HeI, phi_HeII, phi_heat, temper0,
-                                  fixed, ccf, carry)
-            return out, jnp.sum(out[3].astype(jnp.int32))
+            for _ in range(k):
+                carry = _chem_iteration(cfg, dt, ndens, clumping,
+                                        phi_HI, phi_HeI, phi_HeII,
+                                        phi_heat, temper0, fixed, ccf,
+                                        carry)
+            return carry, jnp.sum(carry[3].astype(jnp.int32))
 
         # jax.jit retraces per input shape, so the same cached callable
         # serves both the full grid and the compacted active subsets
@@ -208,6 +219,20 @@ def _compact_scatter(idx, carry_full, carry_c):
 
 
 _COMPACT_SCATTER_JIT = jax.jit(_compact_scatter)
+
+# Fixed power-of-4 bucket ladder (2048, 8192, 32768, ...): every
+# bucket size is a distinct XLA compile of the chemistry body, and on
+# the TPU tunnel a compile costs minutes -- absolute, widely-spaced
+# rungs mean at most ~5 shapes per run and the SAME shapes across
+# runs, so the persistent compilation cache absorbs them once.
+_BUCKET_FLOOR = 2048
+
+
+def _bucket_for(count: int) -> int:
+    b = _BUCKET_FLOOR
+    while b < count:
+        b *= 4
+    return b
 
 
 def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
@@ -262,6 +287,15 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         # lockstep otherwise loses, costing ~100x on the convergence
         # tail of a 128^3 grid with a handful of stiff cells.
         body = _host_body(cfg)
+        # tail chunking: once the active set is compacted below
+        # K_BUCKET_MAX cells, a trip's device compute (~0.1 ms / 1k
+        # cells) is far below the dispatch round trip (~25 ms through
+        # the tunnel), so dispatch K_TAIL unrolled trips per RPC.  At
+        # larger buckets single trips stay better: the active count
+        # still decays fast there, and an unrolled chunk cannot
+        # recompact mid-chunk.
+        K_TAIL = 8
+        K_BUCKET_MAX = 65536
         ccf = jnp.asarray(cosmo_cool_factor, dtype=dtype)
         dt = jnp.asarray(dt, dtype=dtype)
         n = ndens.size
@@ -284,8 +318,11 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         # empty active mask keeps every value).
         pending = []
         while nit < cfg.max_iter:
-            carry, cnt = body(dt, *args, ccf, carry)
-            nit += 1
+            k = (min(K_TAIL, cfg.max_iter - nit)
+                 if idx is not None and bucket <= K_BUCKET_MAX else 1)
+            carry, cnt = (_host_body(cfg, k) if k > 1
+                          else body)(dt, *args, ccf, carry)
+            nit += k
             pending.append(cnt)
             if len(pending) < 2 and nit < cfg.max_iter:
                 continue
@@ -293,11 +330,11 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
             if count == 0:
                 pending.clear()
                 break
-            # (re-)compact to the smallest power-of-two bucket -- but
-            # only when it actually shrinks (the 256 floor otherwise
-            # forces a full-grid scatter+nonzero+gather on every trip
-            # of the convergence tail once count <= 32)
-            new_bucket = max(256, 1 << (count - 1).bit_length())
+            # (re-)compact to the bucket ladder -- but only when the
+            # bucket actually shrinks (a fixed floor otherwise forces
+            # a full-grid scatter+nonzero+gather on every trip of the
+            # convergence tail once count is small)
+            new_bucket = _bucket_for(count)
             if count * 8 <= bucket and new_bucket < bucket:
                 pending.clear()  # drain before reshaping the work set
                 if idx is not None:
