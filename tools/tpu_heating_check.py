@@ -114,6 +114,13 @@ def main(argv):
     if argv and argv[0] == "--profile":
         out = argv[1]
         mesh = int(argv[2]) if len(argv) > 2 else 32
+        if "--cpu" in argv:
+            # the axon TPU plugin IGNORES the JAX_PLATFORMS env var --
+            # the backend must be forced in Python before first use
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_enable_x64", True)
         r, x_prof, t_prof, wall = run_profile(mesh)
         np.savez(out, r=r, x=x_prof, t=t_prof, wall=wall)
         print(f"profile -> {out} ({wall:.1f}s)")
@@ -125,11 +132,9 @@ def main(argv):
 
     # CPU f64 reference in a subprocess (fresh backend selection)
     if not os.path.exists(ref_path):
-        env = dict(os.environ, JAX_PLATFORMS="cpu",
-                   JAX_ENABLE_X64="true")
         rc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--profile",
-             ref_path, str(mesh)], env=env).returncode
+             ref_path, str(mesh), "--cpu"]).returncode
         if rc != 0:
             print("FAIL (cpu reference run failed)")
             return 1
