@@ -293,8 +293,13 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         # the tunnel), so dispatch K_TAIL unrolled trips per RPC.  At
         # larger buckets single trips stay better: the active count
         # still decays fast there, and an unrolled chunk cannot
-        # recompact mid-chunk.
-        K_TAIL = 8
+        # recompact mid-chunk.  Measured at 128^3 x 8 heating (v5e):
+        # K=8 -> 4.2 s/iter, K=32 -> 2.58 s/iter (BASELINE.md); the
+        # CPU default stays 8 because a 32x-unrolled body is mostly
+        # compile time there.  C2RAY_CHEM_CHUNK overrides.
+        import os as _os
+        default_k = "32" if jax.default_backend() == "tpu" else "8"
+        K_TAIL = int(_os.environ.get("C2RAY_CHEM_CHUNK", default_k))
         K_BUCKET_MAX = 65536
         ccf = jnp.asarray(cosmo_cool_factor, dtype=dtype)
         dt = jnp.asarray(dt, dtype=dtype)

@@ -19,8 +19,10 @@ from c2ray_tpu.state import initial_grid_state
 from c2ray_tpu.sweep import SweepConfig, build_shell_table
 from c2ray_tpu.sweep.evolve3d import Evolve3DConfig, evolve3d
 from c2ray_tpu.sweep.global_pass import ChemistryConfig
+import pytest
 
 
+@pytest.mark.slow
 def test_1d_3d_front_agreement():
     M = 24
     dens = 1.0e-3

@@ -16,6 +16,7 @@ from c2ray_tpu.state import initial_grid_state
 from c2ray_tpu.sweep import SweepConfig, build_shell_table
 from c2ray_tpu.sweep.evolve3d import Evolve3DConfig, evolve3d
 from c2ray_tpu.sweep.global_pass import ChemistryConfig
+import pytest
 
 M = 16
 
@@ -39,6 +40,7 @@ def _setup():
     return cfg, state, srcpos, nflux
 
 
+@pytest.mark.slow
 def test_mid_iteration_dump_and_resume(tmp_path):
     cfg, state, srcpos, nflux = _setup()
     dt = 5e13

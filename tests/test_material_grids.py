@@ -42,6 +42,7 @@ def _run(tmp_path, tag, clumping=None, lls=None, S_star=3e56,
     return run, stats
 
 
+@pytest.mark.slow
 def test_clumping_grid_changes_front(tmp_path):
     """A type-5 clumping cube must act per cell: clumping boosts
     recombinations, so high-clumping cells stay more neutral."""
@@ -65,6 +66,7 @@ def test_clumping_grid_changes_front(tmp_path):
                                h1_1[M // 2 + 2:].mean(), rtol=0.2)
 
 
+@pytest.mark.slow
 def test_lls_grid_shifts_front_and_accounts_loss(tmp_path):
     """A type-2 LLS cube must attenuate per cell and feed the LLS-loss
     photon budget."""

@@ -77,6 +77,7 @@ def test_sharded_iteration_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_parallel_evolve3d_runs():
     cfg, state = _setup()
     M = cfg.sweep.mesh

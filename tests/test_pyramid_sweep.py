@@ -15,6 +15,7 @@ from c2ray_tpu.sweep import SweepConfig
 from c2ray_tpu.sweep.octant_sweep import sweep_octant_source_batch
 from c2ray_tpu.sweep.pyramid_sweep import sweep_pyramid_source_batch
 from c2ray_tpu.sweep.source_sweep import SourceFields
+import pytest
 
 
 def _run(M, lls):
@@ -56,10 +57,12 @@ def test_pyramid_matches_octant_m16():
     _check(*_run(16, 0.0))
 
 
+@pytest.mark.slow
 def test_pyramid_matches_octant_m32_lls():
     _check(*_run(32, 1.0e15))
 
 
+@pytest.mark.slow
 def test_subbox_radius_limits_trace_and_counts_loss():
     """radius=r zeroes rates outside the +-r subbox and books escaping
     photons as loss (evolve_source.F90:114-144)."""
@@ -100,6 +103,7 @@ def test_subbox_radius_limits_trace_and_counts_loss():
                                float(full.photon_loss), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_evolve3d_adaptive_subbox_matches_full():
     """In a transparent medium the adaptive subbox must expand to the
     full radius and reproduce the full-trace evolve3d exactly."""

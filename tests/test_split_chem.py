@@ -55,6 +55,7 @@ def _compare(s_a, s_b, conv_a, conv_b):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_parallel_split_chem_matches_ingraph():
     """Source-parallel heating: host-split chemistry == fused shard_map."""
     cfg, state = _heating_setup()
@@ -114,6 +115,7 @@ def test_domain_split_chem_matches_ingraph():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_domain_single_device_offset():
     """Domain mode with n_dev=1 must handle sources at x >= mesh/2: the
     centered periodic fold would produce a negative window start that
@@ -191,6 +193,54 @@ def test_host_body_cache_two_configs():
                                np.asarray(s_b_graph.t_av),
                                rtol=1e-5, atol=1e-12)
     assert not np.allclose(np.asarray(s_b_host.t_av), t_a, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_host_loop_chunked_cap_parity():
+    """When the 400-style iteration cap binds, the chunked tail must
+    stop at EXACTLY max_iter trips (k = min(K_TAIL, remaining)), or
+    capped cells get extra iterations the while_loop path never ran.
+    max_iter=21 is not divisible by the chunk size on purpose."""
+    from c2ray_tpu.sweep.global_pass import global_chemistry_pass
+    from c2ray_tpu.sweep.source_sweep import RateGrids
+
+    M = 16  # 4096 cells > the 2048 bucket floor, so compaction+chunks engage
+    n = M ** 3
+    rng = np.random.RandomState(9)
+    state = begin_timestep(initial_grid_state(
+        np.full((M,) * 3, 1.0e-4), 0.0, 0.0, 0.0, 1.0e4))
+    rates = RateGrids(
+        phih=jnp.asarray(10 ** rng.uniform(-14, -9, n)),
+        phihe0=jnp.asarray(10 ** rng.uniform(-15, -10, n)),
+        phihe1=jnp.asarray(10 ** rng.uniform(-16, -11, n)),
+        phiheat=jnp.asarray(10 ** rng.uniform(-32, -26, n)),
+        photon_loss=jnp.zeros(()), lls_loss=jnp.zeros(()))
+    dt = 1.0e13
+    cfg = ChemistryConfig(cooling=setup_cooling_tables(),
+                          isothermal=False, max_iter=21)
+    s_host, c_host = global_chemistry_pass(cfg, state, rates, dt,
+                                           host_loop=True)
+    s_graph, c_graph = global_chemistry_pass(cfg, state, rates, dt,
+                                             host_loop=False)
+    assert int(c_host) == int(c_graph)
+    for name in ("h_av1", "he_av2", "t_av", "t_inter"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_host, name)),
+            np.asarray(getattr(s_graph, name)), rtol=1e-9,
+            atol=1e-14, err_msg=name)
+
+
+def test_dump_dir_with_iteration_fn_rejected(tmp_path):
+    """dump_dir + caller-supplied iteration_fn used to IndexError at
+    the first dump (the dump path reads out[4]); now a clear error."""
+    from c2ray_tpu.sweep.evolve3d import evolve3d, make_evolve3d_iteration
+
+    cfg, state = _heating_setup(M=12)
+    it = make_evolve3d_iteration(cfg)
+    with pytest.raises(ValueError, match="dump_dir"):
+        evolve3d(cfg, state, jnp.zeros((1, 3), jnp.int32),
+                 jnp.ones((1, 3)), 1e13, iteration_fn=it,
+                 dump_dir=str(tmp_path))
 
 
 def test_host_loop_isothermal():

@@ -48,6 +48,7 @@ def test_shell_table_covers_grid_once():
         assert np.all(s[i][st.mask[i]] == i + 1)
 
 
+@pytest.mark.slow
 def test_stromgren_sphere_matches_analytic():
     cfg, state, sed, dr = _setup()
     M = cfg.sweep.mesh
@@ -70,6 +71,7 @@ def test_stromgren_sphere_matches_analytic():
     assert h1[0, 0, 0] < 0.05
 
 
+@pytest.mark.slow
 def test_photon_conservation_audit():
     cfg, state, sed, dr = _setup()
     M = cfg.sweep.mesh
