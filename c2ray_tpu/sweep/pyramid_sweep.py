@@ -440,6 +440,27 @@ def stack_sweep_fields(cfg: SweepConfig, fields: SourceFields,
     return jnp.stack(chans, axis=-1).reshape(M, M, M, C)
 
 
+def _source_chunk(cfg: SweepConfig, S: int, M: int) -> int:
+    """Sources vmapped together per scan step.  cfg.source_chunk
+    overrides; auto keeps the per-source (M^3, ~10-channel) f32
+    intermediates of a chunk near ~2 GB so the batch fits HBM
+    alongside the state and tables."""
+    explicit = getattr(cfg, "source_chunk", 0)
+    if explicit:
+        return max(1, min(int(explicit), S))
+    per_src = M ** 3 * 10 * 4
+    c = max(1, min(S, (2 ** 31) // per_src))
+    if c < S:
+        # prefer a divisor of S (no padded no-op traces) unless that
+        # would halve the chunk
+        for d in range(c, 0, -1):
+            if S % d == 0:
+                if 2 * d >= c:
+                    c = d
+                break
+    return c
+
+
 def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                                srcpos_batch, nflux_batch,
                                radius: int = None, dr=None,
@@ -481,12 +502,59 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
                              axis=(0, 1, 2))
         return rate_grid, ploss, lls_loss
 
-    rate_grids, plosses, llses = jax.vmap(one_source)(srcpos_batch,
-                                                      nflux_batch)
+    S = srcpos_batch.shape[0]
+    chunk = _source_chunk(cfg, S, M)
+    if chunk >= S:
+        # single chunk: the plain vmap program (identical XLA to every
+        # prior round -- keeps the persistent compile cache valid)
+        rate_grids, plosses, llses = jax.vmap(one_source)(srcpos_batch,
+                                                          nflux_batch)
+        live = jnp.any(nflux_batch > 0.0, axis=1)
+        rg = jnp.sum(jnp.where(live[:, None, None, None, None],
+                               rate_grids, 0.0), axis=0).reshape(n, 4)
+        pl = jnp.sum(jnp.where(live, plosses, 0.0))
+        ll = jnp.sum(jnp.where(live, llses, 0.0))
+        return RateGrids(phih=rg[:, 0], phihe0=rg[:, 1], phihe1=rg[:, 2],
+                         phiheat=rg[:, 3], photon_loss=pl,
+                         lls_loss=ll)
+
+    # Large source batches at large meshes: the vmapped per-source
+    # intermediates are O(S * M^3 * C) and blow past HBM (measured:
+    # 256^3 x 8 sources OOMs at ~26 GB on a 16 GB v5e).  Scan over
+    # chunks of `chunk` sources, vmapping within a chunk and
+    # accumulating into ONE (M, M, M, 4) rate grid -- memory
+    # O(chunk * M^3 * C), numerics identical (the accumulation order
+    # over chunks matches the vmap sum's source order).
+    pad = (-S) % chunk
+    if pad:
+        srcpos_batch = jnp.concatenate(
+            [srcpos_batch,
+             jnp.zeros((pad, 3), srcpos_batch.dtype)], axis=0)
+        nflux_batch = jnp.concatenate(
+            [nflux_batch,
+             jnp.zeros((pad, nflux_batch.shape[1]),
+                       nflux_batch.dtype)], axis=0)
     live = jnp.any(nflux_batch > 0.0, axis=1)
-    rg = jnp.sum(jnp.where(live[:, None, None, None, None],
-                           rate_grids, 0.0), axis=0).reshape(n, 4)
-    pl = jnp.sum(jnp.where(live, plosses, 0.0))
-    ll = jnp.sum(jnp.where(live, llses, 0.0))
+    sp_c = srcpos_batch.reshape(-1, chunk, 3)
+    nf_c = nflux_batch.reshape(-1, chunk, nflux_batch.shape[1])
+    lv_c = live.reshape(-1, chunk)
+
+    def scan_body(carry, xs):
+        rg_acc, pl_acc, ll_acc = carry
+        sp, nf, lv = xs
+        rate_grids, plosses, llses = jax.vmap(one_source)(sp, nf)
+        rg_acc = rg_acc + jnp.sum(
+            jnp.where(lv[:, None, None, None, None], rate_grids, 0.0),
+            axis=0)
+        pl_acc = pl_acc + jnp.sum(jnp.where(lv, plosses, 0.0))
+        ll_acc = ll_acc + jnp.sum(jnp.where(lv, llses, 0.0))
+        return (rg_acc, pl_acc, ll_acc), None
+
+    zero = jnp.zeros((), dtype)
+    (rg, pl, ll), _ = jax.lax.scan(
+        scan_body,
+        (jnp.zeros((M, M, M, 4), dtype), zero, zero),
+        (sp_c, nf_c, lv_c))
+    rg = rg.reshape(n, 4)
     return RateGrids(phih=rg[:, 0], phihe0=rg[:, 1], phihe1=rg[:, 2],
                      phiheat=rg[:, 3], photon_loss=pl, lls_loss=ll)

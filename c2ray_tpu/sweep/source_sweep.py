@@ -64,6 +64,10 @@ class SweepConfig:
     has_pl: bool = False
     has_qso: bool = False
     source_batch: int = 8
+    # pyramid engine: sources vmapped together per scan step (0 = auto
+    # from an HBM budget; large meshes chunk so per-source O(M^3 C)
+    # intermediates don't OOM -- 256^3 x 8 needs this)
+    source_chunk: int = 0
 
     @property
     def vol(self) -> float:

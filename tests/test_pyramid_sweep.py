@@ -138,3 +138,42 @@ def test_evolve3d_adaptive_subbox_matches_full():
     assert stats_a.subbox_radius == M // 2
     np.testing.assert_allclose(np.asarray(st_a.h1), np.asarray(st_b.h1),
                                rtol=1e-12)
+
+
+def test_source_chunked_scan_matches_vmap():
+    """The chunked-scan source batching (HBM guard for large meshes,
+    e.g. 256^3 x 8 OOMs the plain vmap) must reproduce the vmap path
+    exactly, including a chunk that does not divide the batch."""
+    import dataclasses
+
+    dtype = jnp.float64
+    M = 12
+    tables, sed, bands = build_quadrature_tables(
+        SEDConfig(bb=BlackBodySED(T_eff=5e4, S_star=1e48)),
+        isothermal=False, dtype=dtype)
+    cfg = SweepConfig(tables=tables, mesh=M, dr=10.0 * const.kpc / M,
+                      isothermal=False, flux_scale=bands.flux_scale)
+    rng = np.random.RandomState(8)
+    n = M**3
+    fields = SourceFields(
+        ndens=jnp.asarray(10.0 ** rng.uniform(-4, -2, n), dtype),
+        h_av0=jnp.asarray(rng.uniform(0.2, 1.0, n), dtype),
+        h_av1=jnp.asarray(rng.uniform(0.0, 0.8, n), dtype),
+        he_av0=jnp.asarray(rng.uniform(0.2, 1.0, n), dtype),
+        he_av1=jnp.asarray(rng.uniform(0.0, 0.5, n), dtype),
+    )
+    srcpos = jnp.asarray(rng.randint(0, M, size=(5, 3)), dtype=jnp.int32)
+    nflux = jnp.asarray(np.concatenate(
+        [rng.uniform(0.5, 2.0, (5, 1)), np.zeros((5, 2))], axis=1), dtype)
+
+    ref = sweep_pyramid_source_batch(cfg, fields, srcpos, nflux)
+    for chunk in (1, 2, 3):
+        cfg_c = dataclasses.replace(cfg, source_chunk=chunk)
+        got = sweep_pyramid_source_batch(cfg_c, fields, srcpos, nflux)
+        for name in ("phih", "phihe0", "phihe1", "phiheat"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(ref, name)), rtol=1e-12,
+                atol=1e-300, err_msg=f"chunk={chunk} {name}")
+        np.testing.assert_allclose(float(got.photon_loss),
+                                   float(ref.photon_loss), rtol=1e-12)
