@@ -140,6 +140,7 @@ def test_evolve3d_adaptive_subbox_matches_full():
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_source_chunked_scan_matches_vmap():
     """The chunked-scan source batching (HBM guard for large meshes,
     e.g. 256^3 x 8 OOMs the plain vmap) must reproduce the vmap path
