@@ -25,7 +25,8 @@ from ..chemistry import (IonFractions, IonState, coldens, doric,
 from ..cooling import CoolingTables
 from ..rates import RateCoeffs, rate_coefficients
 from ..state import GridState
-from ..thermal import thermal
+from ..thermal import (MAX_SUBSTEPS, thermal, thermal_finalize,
+                       thermal_init, thermal_substeps)
 from .source_sweep import RateGrids
 
 # c2ray_parameters.f90:36,44
@@ -42,18 +43,18 @@ class ChemistryConfig:
     cosmo_cool_factor: float = 0.0
     isothermal_temperature: float = 1.0e4
     max_iter: int = MAX_CHEM_ITER
+    # host-loop two-phase thermal: cap the full-set lockstep sub-cycle
+    # at this many sub-steps, then finish the unfinished minority on a
+    # compacted bucket (bit-identical continuation; see _split_trip).
+    # None = auto (16 on TPU, disabled elsewhere); <=0 disables.
+    thermal_chunk: Optional[int] = None
 
 
-def _chem_iteration(cfg: ChemistryConfig, dt, ndens, clumping,
-                    phi_HI, phi_HeI, phi_HeII, phi_heat,
-                    temper0, fixed_rates, cosmo_cool_factor, carry):
-    """One masked chemistry fixed-point iteration
-    (evolve_point.F90:487-640): {electron density -> T-dependent rates
-    -> two doric passes averaged -> thermal} with converged cells
-    frozen.  carry = (ion, temper1, avg_t, active)."""
-    ion, temper1, avg_t, active = carry
-    prev_avg = ion.avg
-    temper2 = temper1
+def _doric_half(cfg: ChemistryConfig, dt, ndens, clumping,
+                phi_HI, phi_HeI, phi_HeII, fixed_rates, ion, avg_t):
+    """The doric half of one chemistry fixed-point iteration
+    (evolve_point.F90:487-600): {electron density -> T-dependent rates
+    -> two doric passes averaged}.  Returns (ion_new, de)."""
 
     def factors_from(ions: IonFractions):
         # cell columns enter doric only through opacity *ratios*, so the
@@ -91,14 +92,18 @@ def _chem_iteration(cfg: ChemistryConfig, dt, ndens, clumping,
     )
     ion_new = IonState(cur=cur, avg=avg, old=ion.old)
     de = electrondens(ndens, avg)
+    return ion_new, de
 
-    temper1_new = temper0
-    avg_t_new = avg_t
-    if not cfg.isothermal:
-        tr = thermal(dt, temper0, de, ndens, ion_new, phi_heat,
-                     cfg.cooling, cosmo_cool_factor)
-        temper1_new = tr.end_temper
-        avg_t_new = tr.avg_temper
+
+def _conv_freeze(cfg: ChemistryConfig, carry, ion_new, temper1_new,
+                 avg_t_new):
+    """Convergence test + freeze of one chemistry iteration
+    (evolve_point.F90:605-640): converged cells keep their values and
+    leave the active set."""
+    ion, temper1, avg_t, active = carry
+    prev_avg = ion.avg
+    temper2 = temper1
+    avg = ion_new.avg
 
     def conv(new, old):
         return (jnp.abs((new - old) / new) < MIN_FRACTIONAL_CHANGE) | (
@@ -117,6 +122,29 @@ def _chem_iteration(cfg: ChemistryConfig, dt, ndens, clumping,
     avg_t = keep(avg_t_new, avg_t)
     active = active & ~done
     return (ion_out, temper1, avg_t, active)
+
+
+def _chem_iteration(cfg: ChemistryConfig, dt, ndens, clumping,
+                    phi_HI, phi_HeI, phi_HeII, phi_heat,
+                    temper0, fixed_rates, cosmo_cool_factor, carry):
+    """One masked chemistry fixed-point iteration
+    (evolve_point.F90:487-640): {electron density -> T-dependent rates
+    -> two doric passes averaged -> thermal} with converged cells
+    frozen.  carry = (ion, temper1, avg_t, active)."""
+    ion, temper1, avg_t, active = carry
+    ion_new, de = _doric_half(cfg, dt, ndens, clumping, phi_HI,
+                              phi_HeI, phi_HeII, fixed_rates, ion,
+                              avg_t)
+
+    temper1_new = temper0
+    avg_t_new = avg_t
+    if not cfg.isothermal:
+        tr = thermal(dt, temper0, de, ndens, ion_new, phi_heat,
+                     cfg.cooling, cosmo_cool_factor)
+        temper1_new = tr.end_temper
+        avg_t_new = tr.avg_temper
+
+    return _conv_freeze(cfg, carry, ion_new, temper1_new, avg_t_new)
 
 
 def _chem_setup(cfg: ChemistryConfig, state: GridState):
@@ -154,7 +182,7 @@ def _cooling_fingerprint(cooling):
 
 def _config_key(cfg: ChemistryConfig):
     return (cfg.isothermal, cfg.epsilon, cfg.cosmo_cool_factor,
-            cfg.isothermal_temperature, cfg.max_iter,
+            cfg.isothermal_temperature, cfg.max_iter, cfg.thermal_chunk,
             _cooling_fingerprint(cfg.cooling))
 
 
@@ -194,6 +222,101 @@ def _host_body(cfg: ChemistryConfig, k: int = 1):
     return fn
 
 
+def _host_body_split(cfg: ChemistryConfig, s0: int, phase: str):
+    """Jitted phases of the two-phase (split-thermal) host trip.
+
+    The round-4 profile showed the full-grid heating trip is ~94%
+    thermal, and thermal's lockstep sub-step count (~150 at the bench
+    config) is set by a tiny stiff minority (cells heated to >1e9 K
+    near sources) while the typical cell finishes in a handful of
+    steps.  The split trip caps the full-set lockstep at `s0`
+    sub-steps (phase A), continues only the unfinished minority on a
+    compacted bucket (phase B, exact per-cell continuation -- see
+    thermal_substeps), and finalizes + runs the convergence test
+    (phase C).  Per-cell numerics are bit-identical to the monolithic
+    trip.  Reference cost model: evolve_point.F90:487-640,
+    thermal.f90:110-155."""
+    key = (_config_key(cfg), "split", phase, s0)
+    fn = _HOST_BODY_JIT.pop(key, None)
+    if fn is None:
+        if phase == "A":
+            def body(dt, ndens, clumping, phi_HI, phi_HeI, phi_HeII,
+                     phi_heat, temper0, ccf, carry):
+                ion, temper1, avg_t, active = carry
+                ion_new, de = _doric_half(cfg, dt, ndens, clumping,
+                                          phi_HI, phi_HeI, phi_HeII,
+                                          None, ion, avg_t)
+                ctx, tcarry = thermal_init(dt, temper0, de, ndens,
+                                           ion_new, phi_heat, ccf)
+                tcarry, _ = thermal_substeps(cfg.cooling, dt, ctx,
+                                             tcarry, 0, s0)
+                # only cells still in the chemistry fixed point need
+                # their sub-cycle finished; frozen cells' thermal
+                # output is discarded by the freeze anyway
+                unfin = tcarry.active & active
+                n_unfin = jnp.sum(unfin.astype(jnp.int32))
+                return ion_new, ctx, tcarry, unfin, n_unfin
+        elif phase == "B":
+            def body(dt, ctx_c, tcarry_c):
+                tcarry_c, _ = thermal_substeps(cfg.cooling, dt, ctx_c,
+                                               tcarry_c, s0,
+                                               MAX_SUBSTEPS)
+                return tcarry_c
+        else:  # "C"
+            def body(dt, carry, ion_new, ctx, tcarry):
+                end_T, avg_T = thermal_finalize(ctx, tcarry, dt)
+                out = _conv_freeze(cfg, carry, ion_new, end_T, avg_T)
+                return out, jnp.sum(out[3].astype(jnp.int32))
+        fn = jax.jit(body)
+    _HOST_BODY_JIT[key] = fn
+    while len(_HOST_BODY_JIT) > _HOST_BODY_CACHE_MAX:
+        _HOST_BODY_JIT.popitem(last=False)
+    return fn
+
+
+def _thermal_gather(idx, valid, ctx, tcarry):
+    g = lambda a: a.at[idx].get(mode="clip")
+    ctx_c = jax.tree.map(g, ctx)
+    tc = jax.tree.map(g, tcarry)
+    tc = tc._replace(active=tc.active & valid)
+    return ctx_c, tc
+
+
+_THERMAL_GATHER_JIT = jax.jit(_thermal_gather)
+
+
+def _thermal_scatter(idx, tcarry_full, tcarry_c):
+    s = lambda full, comp: full.at[idx].set(comp, mode="drop")
+    return jax.tree.map(s, tcarry_full, tcarry_c)
+
+
+_THERMAL_SCATTER_JIT = jax.jit(_thermal_scatter)
+
+
+def _split_trip(cfg: ChemistryConfig, s0: int, dt, args, ccf, carry):
+    """One two-phase chemistry trip (see _host_body_split).  Returns
+    (carry, active_count) -- the count is fresh (synchronous), so the
+    caller can compact on it immediately."""
+    ion_new, ctx, tcarry, unfin, n_unfin = _host_body_split(
+        cfg, s0, "A")(dt, *args, ccf, carry)
+    cnt = int(n_unfin)
+    if cnt:
+        nn = tcarry.u.size
+        bucket = _bucket_for(cnt)
+        if bucket < nn:
+            idx = jnp.nonzero(unfin.reshape(-1), size=bucket,
+                              fill_value=nn)[0]
+            valid = idx < nn
+            ctx_c, tc_c = _THERMAL_GATHER_JIT(idx, valid, ctx, tcarry)
+            tc_c = _host_body_split(cfg, s0, "B")(dt, ctx_c, tc_c)
+            tcarry = _THERMAL_SCATTER_JIT(idx, tcarry, tc_c)
+        else:
+            tcarry = _host_body_split(cfg, s0, "B")(dt, ctx, tcarry)
+    carry, cnt2 = _host_body_split(cfg, s0, "C")(dt, carry, ion_new,
+                                                 ctx, tcarry)
+    return carry, cnt2
+
+
 def _compact_gather(idx, valid, args, carry):
     """Gather per-cell inputs + carry at the active-cell indices
     (pad lanes clip to an arbitrary cell and are masked inactive)."""
@@ -226,6 +349,23 @@ _COMPACT_SCATTER_JIT = jax.jit(_compact_scatter)
 # rungs mean at most ~5 shapes per run and the SAME shapes across
 # runs, so the persistent compilation cache absorbs them once.
 _BUCKET_FLOOR = 2048
+
+
+def _env_int(name: str, default=None):
+    """Parse an int env override once at import; a malformed value
+    falls back to the default instead of raising mid-run."""
+    import os
+    try:
+        return int(os.environ[name])
+    except (KeyError, ValueError):
+        return default
+
+
+# tail chunking width / split-thermal cap overrides (see
+# _do_chemistry_global); parsed once so a malformed value cannot raise
+# deep inside a long run
+_CHEM_CHUNK_ENV = _env_int("C2RAY_CHEM_CHUNK", 0)
+_THERMAL_CHUNK_ENV = _env_int("C2RAY_THERMAL_CHUNK")
 
 
 def _bucket_for(count: int) -> int:
@@ -297,10 +437,18 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         # K=8 -> 4.2 s/iter, K=32 -> 2.58 s/iter (BASELINE.md); the
         # CPU default stays 8 because a 32x-unrolled body is mostly
         # compile time there.  C2RAY_CHEM_CHUNK overrides.
-        import os as _os
-        default_k = "32" if jax.default_backend() == "tpu" else "8"
-        K_TAIL = int(_os.environ.get("C2RAY_CHEM_CHUNK", default_k))
+        default_k = 32 if jax.default_backend() == "tpu" else 8
+        K_TAIL = _CHEM_CHUNK_ENV or default_k
         K_BUCKET_MAX = 65536
+        # two-phase thermal on the big-bucket phase (see
+        # _host_body_split): auto-on for TPU heating runs, where the
+        # stiff-minority lockstep otherwise dominates the trip
+        s0 = cfg.thermal_chunk
+        if s0 is None:
+            s0 = 16 if jax.default_backend() == "tpu" else 0
+        if _THERMAL_CHUNK_ENV is not None:
+            s0 = _THERMAL_CHUNK_ENV
+        use_split = bool(s0 and s0 > 0 and not cfg.isothermal)
         ccf = jnp.asarray(cosmo_cool_factor, dtype=dtype)
         dt = jnp.asarray(dt, dtype=dtype)
         n = ndens.size
@@ -323,24 +471,37 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         # empty active mask keeps every value).
         pending = []
         while nit < cfg.max_iter:
-            k = (min(K_TAIL, cfg.max_iter - nit)
-                 if idx is not None and bucket <= K_BUCKET_MAX else 1)
-            carry, cnt = (_host_body(cfg, k) if k > 1
-                          else body)(dt, *args, ccf, carry)
-            nit += k
-            pending.append(cnt)
-            if len(pending) < 2 and nit < cfg.max_iter:
-                continue
-            count = int(pending.pop(0))
+            if use_split and bucket > K_BUCKET_MAX:
+                # two-phase trip; its count is fresh (synchronous), so
+                # compaction decisions act on this very trip
+                carry, count = _split_trip(cfg, s0, dt, args, ccf,
+                                           carry)
+                nit += 1
+                count = int(count)
+            else:
+                k = (min(K_TAIL, cfg.max_iter - nit)
+                     if idx is not None and bucket <= K_BUCKET_MAX
+                     else 1)
+                carry, cnt = (_host_body(cfg, k) if k > 1
+                              else body)(dt, *args, ccf, carry)
+                nit += k
+                pending.append((cnt, k))
+                if len(pending) < 2 and nit < cfg.max_iter:
+                    continue
+                count, _ = pending.pop(0)
+                count = int(count)
             if count == 0:
+                # everything dispatched after the converged chunk was a
+                # masked no-op; don't count those trips in nit
+                nit -= sum(kk for _, kk in pending)
                 pending.clear()
                 break
-            # (re-)compact to the bucket ladder -- but only when the
-            # bucket actually shrinks (a fixed floor otherwise forces
-            # a full-grid scatter+nonzero+gather on every trip of the
-            # convergence tail once count is small)
+            # (re-)compact to the bucket ladder whenever it offers a
+            # shrink (rungs are 4x apart, so this fires at most ~6
+            # times a pass -- no thrash); the stale pipelined count is
+            # safe because the active set only ever shrinks
             new_bucket = _bucket_for(count)
-            if count * 8 <= bucket and new_bucket < bucket:
+            if new_bucket < bucket:
                 pending.clear()  # drain before reshaping the work set
                 if idx is not None:
                     carry = _COMPACT_SCATTER_JIT(idx, carry_full, carry)
@@ -357,7 +518,9 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
                 args, carry = _COMPACT_GATHER_JIT(idx, valid,
                                                   args_full, carry)
         while pending:
-            if int(pending.pop(0)) == 0:
+            cnt, _ = pending.pop(0)
+            if int(cnt) == 0:
+                nit -= sum(kk for _, kk in pending)
                 break
         if idx is not None:
             carry = _COMPACT_SCATTER_JIT(idx, carry_full, carry)

@@ -440,15 +440,17 @@ def stack_sweep_fields(cfg: SweepConfig, fields: SourceFields,
     return jnp.stack(chans, axis=-1).reshape(M, M, M, C)
 
 
-def _source_chunk(cfg: SweepConfig, S: int, M: int) -> int:
+def _source_chunk(cfg: SweepConfig, S: int, M: int,
+                  itemsize: int = 4) -> int:
     """Sources vmapped together per scan step.  cfg.source_chunk
-    overrides; auto keeps the per-source (M^3, ~10-channel) f32
+    overrides; auto keeps the per-source (M^3, ~10-channel)
     intermediates of a chunk near ~2 GB so the batch fits HBM
-    alongside the state and tables."""
+    alongside the state and tables.  `itemsize` is the field dtype's
+    byte width (4 for the f32 TPU path, 8 for f64 CPU grids)."""
     explicit = getattr(cfg, "source_chunk", 0)
     if explicit:
         return max(1, min(int(explicit), S))
-    per_src = M ** 3 * 10 * 4
+    per_src = M ** 3 * 10 * itemsize
     c = max(1, min(S, (2 ** 31) // per_src))
     if c < S:
         # prefer a divisor of S (no padded no-op traces) unless that
@@ -503,7 +505,8 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
         return rate_grid, ploss, lls_loss
 
     S = srcpos_batch.shape[0]
-    chunk = _source_chunk(cfg, S, M)
+    chunk = _source_chunk(cfg, S, M,
+                          itemsize=np.dtype(dtype).itemsize)
     if chunk >= S:
         # single chunk: the plain vmap program (identical XLA to every
         # prior round -- keeps the persistent compile cache valid)

@@ -27,6 +27,12 @@ import numpy as np
 
 def main(mesh=128, n_src=8, n_iter=2):
     import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(os.path.dirname(__file__), "..",
+                                        ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from c2ray_tpu import constants as const
@@ -85,8 +91,8 @@ def main(mesh=128, n_src=8, n_iter=2):
     trips = []
     real_host_body = gp._host_body
 
-    def instrumented_host_body(c):
-        body = real_host_body(c)
+    def instrumented_host_body(c, k=1):
+        body = real_host_body(c, k)
 
         def timed(*args):
             t0 = time.perf_counter()
