@@ -43,7 +43,9 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1700))
 MESH = int(os.environ.get("BENCH_MESH", 128))
 N_SRC = int(os.environ.get("BENCH_SOURCES", 8))
 N_ITER = int(os.environ.get("BENCH_ITERS", 2))
-HEAT_ITERS = int(os.environ.get("BENCH_HEAT_ITERS", 1))
+# >= 2 iterations so the headline heating number is never a single
+# multi-second sample through the tunnel (VERDICT r4 weak #6)
+HEAT_ITERS = int(os.environ.get("BENCH_HEAT_ITERS", 2))
 # round-1 recorded value of the SAME isothermal config on 1 TPU chip
 # (BENCH_r01.json / BASELINE.md "Measured"): vs_baseline tracks our own
 # progression because the reference publishes no numbers

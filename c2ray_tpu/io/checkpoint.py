@@ -40,6 +40,8 @@ def save_iterdump(dump_dir, niter, state, rates, slot: Optional[int] = None,
     for name, leaf in state._asdict().items():
         payload[f"state_{name}"] = np.asarray(leaf)
     for name, leaf in rates._asdict().items():
+        if leaf is None:  # optional fields (e.g. photon_loss_bands)
+            continue
         payload[f"rates_{name}"] = np.asarray(leaf)
     np.savez(tmp, **payload)
     os.replace(tmp, path)
@@ -63,7 +65,8 @@ def load_iterdump(dump_dir, state_cls, rates_cls, slot: Optional[int] = None,
         state = state_cls(**{name: z[f"state_{name}"]
                              for name in state_cls._fields})
         rates = rates_cls(**{name: z[f"rates_{name}"]
-                             for name in rates_cls._fields})
+                             for name in rates_cls._fields
+                             if f"rates_{name}" in z.files})
         meta = {k[5:]: z[k].item() for k in z.files
                 if k.startswith("meta_")}
     if with_meta:

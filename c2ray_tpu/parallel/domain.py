@@ -505,7 +505,7 @@ def make_domain_iteration(pcfg: ParallelConfig, radius: int,
 
 
 def _domain_radii(cfg, n_dev: int = 1, extra_halo: int = 0,
-                  cap_memory: bool = True):
+                  cap_memory: bool = True, n_channels: int = 5):
     """The dyadic subbox ladder for the domain mode.
 
     With `cap_memory` (the default) the ladder stops at the last rung
@@ -526,14 +526,25 @@ def _domain_radii(cfg, n_dev: int = 1, extra_halo: int = 0,
     if not radii or radii[-1] < rmax:
         radii.append(rmax)
     if cap_memory and n_dev > 1:
-        budget = replicated_memory_elements(M)
+        budget = replicated_memory_elements(M, n_channels)
         capped = [r for r in radii
-                  if domain_memory_elements(M, n_dev, r, extra_halo)
-                  <= budget]
+                  if domain_memory_elements(M, n_dev, r, extra_halo,
+                                            n_channels) <= budget]
         if capped:
+            capped_below = len(capped) < len(radii)
             radii = capped
         else:
+            capped_below = True
             radii = radii[:1]
+        if capped_below:
+            import warnings
+            warnings.warn(
+                "domain-mode subbox ladder memory-capped at radius "
+                f"{radii[-1]} (< full periodic {rmax}): photons "
+                "escaping the capped window are booked as photon_loss "
+                "(the reference's max_subbox wall, "
+                "evolve_source.F90:133-144); pass cap_memory=False to "
+                "force the full trace", stacklevel=3)
     return radii
 
 
@@ -602,7 +613,9 @@ def domain_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
     adaptive = radius is None and cfg.use_subbox
     if adaptive:
         radii = _domain_radii(cfg, n_dev=n_dev, extra_halo=balance_halo,
-                              cap_memory=cap_memory)
+                              cap_memory=cap_memory,
+                              n_channels=6 if lls_grid is not None
+                              else 5)
         total_strength = _scaled_source_strength(cfg.sweep, nflux)
         loss_wall = cfg.min_fraction_of_photons * max(total_strength,
                                                       1e-300)
@@ -635,7 +648,8 @@ def domain_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
         dtype = state.ndens.dtype
         rstate = GridState(*[jnp.asarray(x, dtype=dtype)
                              for x in st_np])
-        rrates = _RG(*[jnp.asarray(x, dtype=dtype) for x in rt_np])
+        rrates = _RG(*[None if x is None else jnp.asarray(x, dtype=dtype)
+                      for x in rt_np])
         ccf = (None if cosmo_cool_factor is None
                else jnp.asarray(float(cosmo_cool_factor)))
         rstate, conv_dev = global_chemistry_pass(

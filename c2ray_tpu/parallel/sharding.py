@@ -301,7 +301,7 @@ def parallel_evolve3d(pcfg: ParallelConfig, state: GridState, srcpos,
         dtype = state.ndens.dtype
         rstate = GridState(*[jnp.asarray(x, dtype=dtype)
                              for x in st_np])
-        rrates = RateGrids(*[jnp.asarray(x, dtype=dtype)
+        rrates = RateGrids(*[None if x is None else jnp.asarray(x, dtype=dtype)
                              for x in rt_np])
         ccf = (None if cosmo_cool_factor is None
                else jnp.asarray(float(cosmo_cool_factor)))

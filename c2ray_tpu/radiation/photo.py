@@ -45,14 +45,21 @@ class PhotRates(NamedTuple):
     heat: jnp.ndarray
     photo_in: jnp.ndarray
     photo_out: jnp.ndarray
+    # per-band outgoing photon rate (..., nbands) -- populated only by
+    # the quadrature path with track_bands=True, for the flag-gated
+    # photon-loss redistribution (distribute_photon_losses,
+    # evolve_point.F90:654-731); scalar 0 otherwise
+    photo_out_bands: jnp.ndarray = 0.0
 
     def __add__(self, other):
         return PhotRates(*(a + b for a, b in zip(self, other)))
 
 
-def zero_photrates(shape, dtype=jnp.float64) -> PhotRates:
+def zero_photrates(shape, dtype=jnp.float64, nbands=0) -> PhotRates:
     z = jnp.zeros(shape, dtype=dtype)
-    return PhotRates(z, z, z, z, z, z)
+    zb = (jnp.zeros(shape + (nbands,), dtype=dtype) if nbands
+          else jnp.zeros((), dtype=dtype))
+    return PhotRates(z, z, z, z, z, z, zb)
 
 
 def _table_positions(tau):

@@ -323,7 +323,8 @@ def _attenuation(sq: SourceQuad, tau):
 def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux,
                      cd_in_HI, cd_out_HI, cd_in_HeI, cd_out_HeI,
                      cd_in_HeII, cd_out_HeII,
-                     vol, i_state, do_heating) -> PhotRates:
+                     vol, i_state, do_heating,
+                     track_bands=False) -> PhotRates:
     """Photo + heating rates for one source type (quadrature path).
 
     Optical depths and species scalings are computed here, directly on
@@ -377,10 +378,18 @@ def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux,
     photo_cell_HeII = (mask_HeII * scaling_HeII * phi_all / volk).sum(-1)
 
     z = jnp.zeros_like(photo_cell_HI)
+    if track_bands:
+        # pad this source type's live slice into the full 47-band axis
+        nb_all = qt.sigma_HI.shape[0]
+        pob = jnp.zeros(phi_out.shape[:-1] + (nb_all,),
+                        dtype=dtype).at[..., sl].add(phi_out)
+    else:
+        pob = jnp.zeros((), dtype=dtype)
     out = PhotRates(
         photo_cell_HI=photo_cell_HI, photo_cell_HeI=photo_cell_HeI,
         photo_cell_HeII=photo_cell_HeII, heat=z,
-        photo_in=phi_in.sum(-1), photo_out=phi_out.sum(-1))
+        photo_in=phi_in.sum(-1), photo_out=phi_out.sum(-1),
+        photo_out_bands=pob)
 
     if not do_heating or sq.A_heat_HI is None:
         return out
@@ -429,7 +438,8 @@ def _one_source_quad(qt: QuadTables, sq: SourceQuad, nflux,
         + f_ion_HeI / (const.ion_freq_HeI * const.hplanck),
         photo_cell_HeII=out.photo_cell_HeII,
         heat=f_heat,
-        photo_in=out.photo_in, photo_out=out.photo_out)
+        photo_in=out.photo_in, photo_out=out.photo_out,
+        photo_out_bands=out.photo_out_bands)
 
 
 def photoion_rates_quad(
@@ -443,15 +453,24 @@ def photoion_rates_quad(
     nflux_pl=None,
     nflux_qso=None,
     do_heating: bool = True,
+    track_bands: bool = False,
 ) -> PhotRates:
-    """Drop-in quadrature version of `photoion_rates` (same contract)."""
+    """Drop-in quadrature version of `photoion_rates` (same contract).
+
+    `track_bands` also fills PhotRates.photo_out_bands, the outgoing
+    photon rate resolved over the full band axis -- the input the
+    47-band-correct photon-loss redistribution needs
+    (distribute_photon_losses; the reference's disabled 7-band hook is
+    evolve_point.F90:654-731)."""
     cd_in_HI = jnp.asarray(colum_in_HI)
     shape = cd_in_HI.shape
     dtype = cd_in_HI.dtype
     vol = jnp.broadcast_to(jnp.asarray(vol, dtype=dtype), shape)
     i_state = jnp.broadcast_to(jnp.asarray(i_state, dtype=dtype), shape)
 
-    phi = zero_photrates(shape, dtype)
+    phi = zero_photrates(shape, dtype,
+                         nbands=qt.sigma_HI.shape[0] if track_bands
+                         else 0)
     for sq, nflux in ((qt.bb, nflux_bb), (qt.pl, nflux_pl),
                       (qt.qso, nflux_qso)):
         if sq is None or nflux is None:
@@ -465,5 +484,5 @@ def photoion_rates_quad(
                 qt, blk, nflux,
                 cd_in_HI, colum_out_HI, colum_in_HeI, colum_out_HeI,
                 colum_in_HeII, colum_out_HeII, vol, i_state,
-                do_heating)
+                do_heating, track_bands=track_bands)
     return phi

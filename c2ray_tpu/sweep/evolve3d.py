@@ -54,6 +54,13 @@ class Evolve3DConfig:
     use_subbox: bool = True
     subbox_start: int = 8
     min_fraction_of_photons: float = MIN_FRACTION_OF_PHOTONS
+    # recycle escaped photons into the grid (the reference's DISABLED
+    # 7-band hook, completed over all 47 bands -- see
+    # sweep/photon_losses.py).  Requires the pyramid engine with
+    # sweep.track_band_loss=True.  The reported photon_loss stays the
+    # raw escape (it still drives the expanding subbox and the photon
+    # budget, photonstatistics.f90:272-318).
+    add_photon_losses: bool = False
 
 
 class Evolve3DStats(NamedTuple):
@@ -116,6 +123,12 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None,
     dense_sweep = {"pyramid": sweep_pyramid_source_batch,
                    "octant": sweep_octant_source_batch}.get(engine)
 
+    if cfg.add_photon_losses and not (
+            engine == "pyramid" and cfg.sweep.track_band_loss):
+        raise ValueError(
+            "add_photon_losses needs the pyramid engine with "
+            "SweepConfig(track_band_loss=True)")
+
     def _sweep(state: GridState, srcpos, nflux, dr, vol_over_scale,
                lls_grid):
         fields = SourceFields(
@@ -124,9 +137,19 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None,
             he_av0=state.he_av0, he_av1=state.he_av1,
         )
         if engine == "pyramid":
-            return sweep_pyramid_source_batch(
+            rates = sweep_pyramid_source_batch(
                 cfg.sweep, fields, srcpos, nflux, radius=radius,
                 dr=dr, vol_over_scale=vol_over_scale, lls_grid=lls_grid)
+            if cfg.add_photon_losses:
+                from .photon_losses import distribute_photon_losses
+
+                vos = (vol_over_scale if vol_over_scale is not None
+                       else jnp.asarray(
+                           cfg.sweep.vol / cfg.sweep.flux_scale,
+                           dtype=fields.ndens.dtype))
+                rates = distribute_photon_losses(cfg.sweep.tables,
+                                                 rates, fields, vos)
+            return rates
         elif dense_sweep is not None:
             return dense_sweep(cfg.sweep, fields, srcpos, nflux)
         return sweep_sources_accumulate(cfg.sweep, cfg.shells,
@@ -281,7 +304,8 @@ def evolve3d(cfg: Evolve3DConfig, state: GridState, srcpos, nflux, dt,
         dtype = state.ndens.dtype
         state = GridState(*[jnp.asarray(x, dtype=dtype)
                             for x in st_np])
-        rates = RateGrids(*[jnp.asarray(x, dtype=dtype)
+        rates = RateGrids(*[None if x is None
+                            else jnp.asarray(x, dtype=dtype)
                             for x in rt_np])
         ccf = (None if cosmo_cool_factor is None
                else jnp.asarray(float(cosmo_cool_factor)))

@@ -153,6 +153,14 @@ def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
         B = min(M - start, 2 * hi + 1)
         win.append((start, B))
 
+    track = bool(getattr(cfg, "track_band_loss", False))
+    if track:
+        from ..radiation.quadrature import QuadTables
+        if not isinstance(cfg.tables, QuadTables):
+            raise ValueError("track_band_loss needs the quadrature "
+                             "tables (QuadTables)")
+        nb_all = cfg.tables.sigma_HI.shape[0]
+
     if True:
         nflux = jnp.asarray(nflux, dtype=dtype)
         ncols = jnp.stack([f_ctr[..., 1], f_ctr[..., 3], f_ctr[..., 4]],
@@ -278,6 +286,13 @@ def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
                                 :, None, None])
                 pls = jnp.sum(jnp.where(live & on_bound,
                                         phi.photo_out / vol_ratio, 0.0))
+                if track:
+                    plb = jnp.sum(jnp.where(
+                        (live & on_bound)[..., None],
+                        phi.photo_out_bands / vol_ratio[..., None],
+                        0.0), axis=(0, 1, 2))
+                else:
+                    plb = None
 
                 # photons absorbed by the LLS fog: grey-opacity loss
                 # phi_in * (1 - e^-tau_LLS) (total_LLS_loss,
@@ -292,10 +307,12 @@ def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
                     lls = jnp.zeros((), dtype=dtype)
 
                 cd_new = jnp.where(valid[..., None], cd_out, 0.0)
-                return cd_new, rates, pls, lls
+                return cd_new, rates, pls, lls, plb
 
             def step(carry, ell):
-                Px, Py, Pz, pls, lls = carry   # layer l-1 stage planes
+                # layer l-1 stage planes (+ per-band loss when tracked)
+                Px, Py, Pz, pls, lls = carry[:5]
+                plb = carry[5] if track else None
                 el32 = ell.astype(jnp.int32)
                 jf = ctr_w + el32 - 1     # window row of +(l-1)
                 jb = ctr_w - el32 + 1
@@ -314,8 +331,8 @@ def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
                     Ws = _put_col(Ws, jf, _get_row(Pz[0], arow))
                     Ws = _put_col(Ws, jb, _get_row(Pz[1], arow))
                     W = W.at[s].set(Ws)
-                cd_x, r_x, p1, l1 = compute_stage(0, ell, W,
-                                                  ell - 1, ell - 1)
+                cd_x, r_x, p1, l1, b1 = compute_stage(0, ell, W,
+                                                      ell - 1, ell - 1)
 
                 # --- W_y: plane b=+-(l-1) = Py + z cols (layer l-1)
                 # + x rows (layer l, this step)
@@ -329,7 +346,8 @@ def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
                     Ws = _put_row(Ws, rb, _get_row(cd_x[1], brow),
                                   on=bwd_ok[..., None])
                     W = W.at[s].set(Ws)
-                cd_y, r_y, p2, l2 = compute_stage(1, ell, W, ell, ell - 1)
+                cd_y, r_y, p2, l2, b2 = compute_stage(1, ell, W, ell,
+                                                      ell - 1)
 
                 # --- W_z: plane c=+-(l-1) = Pz + x rows + y cols
                 # (both layer l, this step)
@@ -344,11 +362,14 @@ def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
                     Ws = _put_col(Ws, rb, _get_col(cd_y[1], ccol),
                                   on=bwd_ok[..., None])
                     W = W.at[s].set(Ws)
-                cd_z, r_z, p3, l3 = compute_stage(2, ell, W, ell, ell)
+                cd_z, r_z, p3, l3, b3 = compute_stage(2, ell, W, ell,
+                                                      ell)
 
-                return ((cd_x, cd_y, cd_z, pls + p1 + p2 + p3,
-                         lls + l1 + l2 + l3),
-                        (r_x, r_y, r_z))
+                out = (cd_x, cd_y, cd_z, pls + p1 + p2 + p3,
+                       lls + l1 + l2 + l3)
+                if track:
+                    out = out + (plb + b1 + b2 + b3,)
+                return (out, (r_x, r_y, r_z))
 
             return step
 
@@ -364,6 +385,9 @@ def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
         start0, B0 = win[0]
         carry = (seed_planes(B0, start0), seed_planes(B0, start0),
                  seed_planes(B0, start0), ploss, ploss)
+        if track:
+            carry = carry + (jnp.zeros((nb_all,), dtype=dtype)
+                             + nflux[0] * 0.0,)
         for bi, ((lo, hi), (start, B)) in enumerate(zip(buckets, win)):
             if bi > 0:
                 # re-embed previous bucket's carry planes in the wider
@@ -373,14 +397,15 @@ def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
                 rpad = (start + B) - (pstart + pB)
                 grow = lambda p: jnp.pad(
                     p, [(0, 0), (lpad, rpad), (lpad, rpad), (0, 0)])
-                Px, Py, Pz, pls, lls = carry
-                carry = (grow(Px), grow(Py), grow(Pz), pls, lls)
+                carry = (grow(carry[0]), grow(carry[1]),
+                         grow(carry[2])) + carry[3:]
             step = make_bucket(start, B)
             carry, ys = jax.lax.scan(
                 step, carry, jnp.arange(lo, hi + 1, dtype=jnp.int32))
             rate_stacks.append(ys)
         ploss = carry[3]
         lls_loss = carry[4]
+        ploss_bands = carry[5] if track else None
 
         # --- assemble the rate cube from the stacked plane outputs
         # (static pads/concats only; every cell was written by exactly
@@ -418,6 +443,8 @@ def trace_centered(cfg: SweepConfig, f_ctr, nflux, radius: int = None,
                                phi0.photo_cell_HeII / denom0[2],
                                phi0.heat])
         cube = cube.at[ctr, ctr, ctr].set(src_rates)
+        if track:
+            return cube, ploss, lls_loss, ploss_bands
         return cube, ploss, lls_loss
 
 
@@ -492,17 +519,21 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
     dtype = fields.ndens.dtype
     fstack = stack_sweep_fields(cfg, fields, lls_grid)
 
+    track = bool(getattr(cfg, "track_band_loss", False))
+
     def one_source(srcpos, nflux):
         shift = (ctr - srcpos[0], ctr - srcpos[1], ctr - srcpos[2])
         f_ctr = jnp.roll(fstack, shift=shift, axis=(0, 1, 2))
-        cube, ploss, lls_loss = trace_centered(
+        out = trace_centered(
             cfg, f_ctr, nflux, radius=radius, dr=dr,
             vol_over_scale=vol_over_scale)
+        cube, ploss, lls_loss = out[:3]
+        plb = out[3] if track else jnp.zeros((), dtype=dtype)
         rate_grid = jnp.roll(cube, shift=(srcpos[0] - ctr,
                                           srcpos[1] - ctr,
                                           srcpos[2] - ctr),
                              axis=(0, 1, 2))
-        return rate_grid, ploss, lls_loss
+        return rate_grid, ploss, lls_loss, plb
 
     S = srcpos_batch.shape[0]
     chunk = _source_chunk(cfg, S, M,
@@ -510,16 +541,18 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
     if chunk >= S:
         # single chunk: the plain vmap program (identical XLA to every
         # prior round -- keeps the persistent compile cache valid)
-        rate_grids, plosses, llses = jax.vmap(one_source)(srcpos_batch,
-                                                          nflux_batch)
+        rate_grids, plosses, llses, plbs = jax.vmap(one_source)(
+            srcpos_batch, nflux_batch)
         live = jnp.any(nflux_batch > 0.0, axis=1)
         rg = jnp.sum(jnp.where(live[:, None, None, None, None],
                                rate_grids, 0.0), axis=0).reshape(n, 4)
         pl = jnp.sum(jnp.where(live, plosses, 0.0))
         ll = jnp.sum(jnp.where(live, llses, 0.0))
+        plb = (jnp.sum(jnp.where(live[:, None], plbs, 0.0), axis=0)
+               if track else None)
         return RateGrids(phih=rg[:, 0], phihe0=rg[:, 1], phihe1=rg[:, 2],
                          phiheat=rg[:, 3], photon_loss=pl,
-                         lls_loss=ll)
+                         lls_loss=ll, photon_loss_bands=plb)
 
     # Large source batches at large meshes: the vmapped per-source
     # intermediates are O(S * M^3 * C) and blow past HBM (measured:
@@ -543,21 +576,27 @@ def sweep_pyramid_source_batch(cfg: SweepConfig, fields: SourceFields,
     lv_c = live.reshape(-1, chunk)
 
     def scan_body(carry, xs):
-        rg_acc, pl_acc, ll_acc = carry
+        rg_acc, pl_acc, ll_acc, plb_acc = carry
         sp, nf, lv = xs
-        rate_grids, plosses, llses = jax.vmap(one_source)(sp, nf)
+        rate_grids, plosses, llses, plbs = jax.vmap(one_source)(sp, nf)
         rg_acc = rg_acc + jnp.sum(
             jnp.where(lv[:, None, None, None, None], rate_grids, 0.0),
             axis=0)
         pl_acc = pl_acc + jnp.sum(jnp.where(lv, plosses, 0.0))
         ll_acc = ll_acc + jnp.sum(jnp.where(lv, llses, 0.0))
-        return (rg_acc, pl_acc, ll_acc), None
+        if track:
+            plb_acc = plb_acc + jnp.sum(
+                jnp.where(lv[:, None], plbs, 0.0), axis=0)
+        return (rg_acc, pl_acc, ll_acc, plb_acc), None
 
     zero = jnp.zeros((), dtype)
-    (rg, pl, ll), _ = jax.lax.scan(
+    plb0 = (jnp.zeros((cfg.tables.sigma_HI.shape[0],), dtype)
+            if track else zero)
+    (rg, pl, ll, plb), _ = jax.lax.scan(
         scan_body,
-        (jnp.zeros((M, M, M, 4), dtype), zero, zero),
+        (jnp.zeros((M, M, M, 4), dtype), zero, zero, plb0),
         (sp_c, nf_c, lv_c))
     rg = rg.reshape(n, 4)
     return RateGrids(phih=rg[:, 0], phihe0=rg[:, 1], phihe1=rg[:, 2],
-                     phiheat=rg[:, 3], photon_loss=pl, lls_loss=ll)
+                     phiheat=rg[:, 3], photon_loss=pl, lls_loss=ll,
+                     photon_loss_bands=plb if track else None)

@@ -68,6 +68,11 @@ class SweepConfig:
     # from an HBM budget; large meshes chunk so per-source O(M^3 C)
     # intermediates don't OOM -- 256^3 x 8 needs this)
     source_chunk: int = 0
+    # track the escaping-photon budget resolved over the full band
+    # axis (quadrature path + pyramid engine only): the input to the
+    # flag-gated photon-loss redistribution (distribute_photon_losses;
+    # the reference's disabled 7-band hook, evolve_point.F90:654-731)
+    track_band_loss: bool = False
 
     @property
     def vol(self) -> float:
@@ -96,6 +101,10 @@ class RateGrids(NamedTuple):
     # (photonstatistics.f90:59,250-267; zeroed per iteration like
     # photon_loss, evolve.F90:371-381)
     lls_loss: jnp.ndarray = 0.0
+    # (nbands,) escaping-photon rate per band, present only when the
+    # sweep ran with track_band_loss (else None); feeds
+    # distribute_photon_losses
+    photon_loss_bands: Optional[jnp.ndarray] = None
 
 
 def zero_rate_grids(mesh: int, dtype) -> RateGrids:
@@ -108,8 +117,11 @@ def zero_rate_grids(mesh: int, dtype) -> RateGrids:
 
 def _cell_rates(cfg: SweepConfig, cd_in, cd_out, vol_ph, nflux, i_state):
     """cd_in/cd_out: (..., 3) species columns."""
-    fn = (photoion_rates_quad if isinstance(cfg.tables, QuadTables)
-          else photoion_rates)
+    quad = isinstance(cfg.tables, QuadTables)
+    fn = photoion_rates_quad if quad else photoion_rates
+    kw = {}
+    if quad and cfg.track_band_loss:
+        kw["track_bands"] = True
     return fn(
         cfg.tables,
         cd_in[..., 0], cd_out[..., 0], cd_in[..., 1], cd_out[..., 1],
@@ -119,6 +131,7 @@ def _cell_rates(cfg: SweepConfig, cd_in, cd_out, vol_ph, nflux, i_state):
         nflux_pl=nflux[1] if cfg.has_pl else None,
         nflux_qso=nflux[2] if cfg.has_qso else None,
         do_heating=not cfg.isothermal,
+        **kw,
     )
 
 

@@ -271,3 +271,102 @@ def test_host_loop_isothermal():
     np.testing.assert_allclose(np.asarray(s_host.h_av1),
                                np.asarray(s_graph.h_av1),
                                rtol=1e-10, atol=1e-15)
+
+
+def test_split_thermal_trip_bitequal():
+    """The two-phase (split-thermal) host trip -- phase A capped
+    lockstep, phase B compacted continuation, phase C finalize -- must
+    be BIT-identical to the monolithic trip and the in-graph
+    while_loop: a cell's sub-step sequence depends only on its own
+    steps (global_pass._host_body_split)."""
+    from c2ray_tpu.sweep.global_pass import global_chemistry_pass
+    from c2ray_tpu.sweep.source_sweep import RateGrids
+
+    M = 16
+    n = M ** 3
+    rng = np.random.RandomState(11)
+    state = begin_timestep(initial_grid_state(
+        np.full((M,) * 3, 1.0e-4), 0.0, 0.0, 0.0, 1.0e4))
+    rates = RateGrids(
+        phih=jnp.asarray(10 ** rng.uniform(-14, -9, n)),
+        phihe0=jnp.asarray(10 ** rng.uniform(-15, -10, n)),
+        phihe1=jnp.asarray(10 ** rng.uniform(-16, -11, n)),
+        phiheat=jnp.asarray(10 ** rng.uniform(-32, -24, n)),
+        photon_loss=jnp.zeros(()), lls_loss=jnp.zeros(()))
+    dt = 1.0e13
+    cooling = setup_cooling_tables()
+    cfg_mono = ChemistryConfig(cooling=cooling, isothermal=False,
+                               thermal_chunk=0)
+    cfg_split = ChemistryConfig(cooling=cooling, isothermal=False,
+                                thermal_chunk=4)
+    s_m, c_m = global_chemistry_pass(cfg_mono, state, rates, dt,
+                                     host_loop=True)
+    s_s, c_s = global_chemistry_pass(cfg_split, state, rates, dt,
+                                     host_loop=True)
+    s_g, c_g = global_chemistry_pass(cfg_mono, state, rates, dt,
+                                     host_loop=False)
+    assert int(c_m) == int(c_s) == int(c_g)
+    for name in state._fields:
+        a = np.asarray(getattr(s_m, name))
+        # the split trip must be BIT-identical to the monolithic one
+        assert np.array_equal(a, np.asarray(getattr(s_s, name))), name
+        # vs the in-graph while_loop only allclose: differently-fused
+        # compilations of the same body sit one FMA apart on occasional
+        # cells (see test_host_body_cache_two_configs)
+        np.testing.assert_allclose(a, np.asarray(getattr(s_g, name)),
+                                   rtol=1e-6, atol=1e-12, err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_split_chem_full_grid_trips_keep_sharding():
+    """Pod-readiness (VERDICT r4 #7): the host-driven chemistry trips
+    must receive P(AXIS)-sharded full-grid inputs end-to-end -- an
+    accidental replication here would silently run the chemistry
+    redundantly on every pod device.  (Once the pass compacts below
+    the full grid, the gathered bucket is intentionally replicated --
+    the nonzero+gather all-gathers the mask; see
+    global_pass._do_chemistry_global.)"""
+    from jax.sharding import PartitionSpec as P
+
+    import c2ray_tpu.sweep.global_pass as gp
+
+    cfg, state = _heating_setup()
+    M = cfg.sweep.mesh
+    rng = np.random.RandomState(12)
+    srcpos = rng.randint(0, M, (5, 3)).astype(np.int32)
+    nflux = np.column_stack([rng.uniform(0.5, 2.0, 5), np.zeros((5, 2))])
+    dt = jnp.float64(4e13)
+    state0 = begin_timestep(state)
+
+    mesh_dev = Mesh(np.array(jax.devices()[:8]), ("d",))
+    pcfg = ParallelConfig(cfg=cfg, mesh=mesh_dev)
+    sp, nf = pad_sources(srcpos, nflux, 8)
+    sp, nf = jnp.asarray(sp), jnp.asarray(nf)
+
+    specs = []
+    real = gp._host_body
+
+    def spy(c, k=1):
+        body = real(c, k)
+
+        def wrapped(dt_, *rest):
+            ndens, carry = rest[0], rest[-1]
+            if ndens.size == M ** 3:  # full-grid trips only
+                specs.append((ndens.sharding.spec,
+                              carry[1].sharding.spec))
+            return body(dt_, *rest)
+
+        return wrapped
+
+    gp._host_body = spy
+    try:
+        it_split = make_parallel_iteration(pcfg, split_chem=True)
+        s_s, conv_s, _, _ = it_split(state0, sp, nf, dt)
+    finally:
+        gp._host_body = real
+    assert specs, "no full-grid host trips recorded"
+    for nd_spec, t_spec in specs:
+        assert tuple(nd_spec) == ("d",), nd_spec
+        assert tuple(t_spec) == ("d",), t_spec
+    # and the pass's output state stays cell-sharded over all 8 devices
+    assert len(s_s.h_av1.sharding.device_set) == 8

@@ -106,6 +106,18 @@ def main(mesh=128, n_src=8, n_iter=2):
 
     gp._host_body = instrumented_host_body
 
+    real_split_trip = gp._split_trip
+
+    def instrumented_split_trip(c, s0, dt_, args_, ccf_, carry_):
+        t0 = time.perf_counter()
+        out, cnt = real_split_trip(c, s0, dt_, args_, ccf_, carry_)
+        jax.block_until_ready(out[1])
+        trips.append((time.perf_counter() - t0, int(cnt),
+                      int(args_[0].size)))
+        return out, cnt
+
+    gp._split_trip = instrumented_split_trip
+
     summary = {"mesh": mesh, "n_src": n_src,
                "backend": jax.default_backend()}
     try:
@@ -128,6 +140,8 @@ def main(mesh=128, n_src=8, n_iter=2):
                 (i for i, s in enumerate(sizes) if s < sizes[0]), None)
             rec = dict(sweep_s=t_sweep, chem_s=t_chem,
                        trips=len(trips), conv=int(conv),
+                       trip_detail=[(round(t * 1e3, 1), c, s)
+                                    for t, c, s in trips],
                        trip_ms_first=(trips[0][0] * 1e3 if trips
                                       else 0.0),
                        trip_ms_median=float(np.median(
@@ -139,6 +153,10 @@ def main(mesh=128, n_src=8, n_iter=2):
                   f"({rec['trips']} trips, median "
                   f"{rec['trip_ms_median']:.1f} ms, compacted at trip "
                   f"{compact_at})", flush=True)
+            print("#   trips (ms, active_after, set_size): "
+                  + " ".join(f"({t},{c},{s})"
+                             for t, c, s in rec["trip_detail"]),
+                  flush=True)
             if it > 0:
                 iters.append(rec)
 
@@ -158,6 +176,7 @@ def main(mesh=128, n_src=8, n_iter=2):
         )
     finally:
         gp._host_body = real_host_body
+        gp._split_trip = real_split_trip
 
     print(json.dumps(summary), flush=True)
 
