@@ -108,7 +108,14 @@ def _bench_one(isothermal: bool, mesh: int, n_iter: int, n_nodes="auto"):
                                1.0e4, dtype=dtype)
     dt = jnp.asarray(1.0e14, dtype=dtype)
 
-    # warm-up / compile
+    # warm-up / compile.  Heating passes visit a data-dependent subset
+    # of the host-loop bucket ladder; pre-building every shape here
+    # keeps first-use compilation/deserialization out of the timed
+    # iterations (the warm-up iteration alone only covers ITS shapes).
+    if not isothermal:
+        from c2ray_tpu.sweep.global_pass import warm_host_shapes
+        warm_host_shapes(chem_cfg, mesh ** 3)
+        print(f"SHAPES-WARM {time.perf_counter():.1f}", flush=True)
     state1, conv, _, _ = iteration(state, srcpos, nflux, dt)
     jax.block_until_ready(state1.h_av1)
     print(f"WARM {time.perf_counter():.1f}", flush=True)

@@ -13,6 +13,7 @@ iterations, evolve_point.F90:487-640).
 import hashlib
 from collections import OrderedDict
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -285,6 +286,28 @@ def _thermal_gather(idx, valid, ctx, tcarry):
 _THERMAL_GATHER_JIT = jax.jit(_thermal_gather)
 
 
+# nonzero + gather fused into ONE jitted program per (shape, bucket):
+# dispatched eagerly they lower to a chain of separate device RPCs,
+# which through the tunnel costs hundreds of ms per compaction
+# (round-5 trip profile: 446 ms at the first 524288-bucket gather)
+@partial(jax.jit, static_argnums=(3,))
+def _thermal_gather_fused(unfin, ctx, tcarry, bucket: int):
+    nn = unfin.size
+    idx = jnp.nonzero(unfin.reshape(-1), size=bucket, fill_value=nn)[0]
+    valid = idx < nn
+    ctx_c, tc = _thermal_gather(idx, valid, ctx, tcarry)
+    return idx, ctx_c, tc
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _compact_gather_fused(active, args, carry, bucket: int):
+    n = active.size
+    idx = jnp.nonzero(active.reshape(-1), size=bucket, fill_value=n)[0]
+    valid = idx < n
+    args_c, carry_c = _compact_gather(idx, valid, args, carry)
+    return idx, args_c, carry_c
+
+
 def _thermal_scatter(idx, tcarry_full, tcarry_c):
     s = lambda full, comp: full.at[idx].set(comp, mode="drop")
     return jax.tree.map(s, tcarry_full, tcarry_c)
@@ -304,10 +327,8 @@ def _split_trip(cfg: ChemistryConfig, s0: int, dt, args, ccf, carry):
         nn = tcarry.u.size
         bucket = _bucket_for(cnt)
         if bucket < nn:
-            idx = jnp.nonzero(unfin.reshape(-1), size=bucket,
-                              fill_value=nn)[0]
-            valid = idx < nn
-            ctx_c, tc_c = _THERMAL_GATHER_JIT(idx, valid, ctx, tcarry)
+            idx, ctx_c, tc_c = _thermal_gather_fused(unfin, ctx,
+                                                     tcarry, bucket)
             tc_c = _host_body_split(cfg, s0, "B")(dt, ctx_c, tc_c)
             tcarry = _THERMAL_SCATTER_JIT(idx, tcarry, tc_c)
         else:
@@ -368,11 +389,31 @@ _CHEM_CHUNK_ENV = _env_int("C2RAY_CHEM_CHUNK", 0)
 _THERMAL_CHUNK_ENV = _env_int("C2RAY_THERMAL_CHUNK")
 
 
-def _bucket_for(count: int) -> int:
+def _bucket_for(count: int, n: int = 0) -> int:
+    """Smallest ladder rung >= count.  Rungs are powers of 4 from the
+    floor, PLUS n/2 when the full set size `n` is given: early heating
+    passes sit with 50-90% of cells active for a few trips (the hard
+    bands touch every cell on the first iterates), and without the n/2
+    rung nothing between n/4 and n exists to compact to."""
     b = _BUCKET_FLOOR
     while b < count:
         b *= 4
+    if n and b >= n and count * 2 <= n:
+        return n // 2
     return b
+
+
+def _bucket_rungs(n: int):
+    """Every bucket size a pass over n cells can touch (ladder +
+    n/2), smallest first, excluding n itself."""
+    rungs = []
+    b = _BUCKET_FLOOR
+    while b < n:
+        rungs.append(b)
+        b *= 4
+    if n // 2 not in rungs and n // 2 >= _BUCKET_FLOOR:
+        rungs.append(n // 2)
+    return sorted(set(r for r in rungs if r < n))
 
 
 def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
@@ -472,24 +513,24 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         pending = []
         while nit < cfg.max_iter:
             if use_split and bucket > K_BUCKET_MAX:
-                # two-phase trip; its count is fresh (synchronous), so
-                # compaction decisions act on this very trip
-                carry, count = _split_trip(cfg, s0, dt, args, ccf,
-                                           carry)
-                nit += 1
-                count = int(count)
+                # two-phase trip (phase A syncs internally to size its
+                # thermal bucket; the trip's own convergence count is
+                # read through the depth-2 pipeline below like any
+                # other trip's)
+                carry, cnt = _split_trip(cfg, s0, dt, args, ccf, carry)
+                k = 1
             else:
                 k = (min(K_TAIL, cfg.max_iter - nit)
                      if idx is not None and bucket <= K_BUCKET_MAX
                      else 1)
                 carry, cnt = (_host_body(cfg, k) if k > 1
                               else body)(dt, *args, ccf, carry)
-                nit += k
-                pending.append((cnt, k))
-                if len(pending) < 2 and nit < cfg.max_iter:
-                    continue
-                count, _ = pending.pop(0)
-                count = int(count)
+            nit += k
+            pending.append((cnt, k))
+            if len(pending) < 2 and nit < cfg.max_iter:
+                continue
+            count, _ = pending.pop(0)
+            count = int(count)
             if count == 0:
                 # everything dispatched after the converged chunk was a
                 # masked no-op; don't count those trips in nit
@@ -500,7 +541,7 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
             # shrink (rungs are 4x apart, so this fires at most ~6
             # times a pass -- no thrash); the stale pipelined count is
             # safe because the active set only ever shrinks
-            new_bucket = _bucket_for(count)
+            new_bucket = _bucket_for(count, n)
             if new_bucket < bucket:
                 pending.clear()  # drain before reshaping the work set
                 if idx is not None:
@@ -511,12 +552,8 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
                     idx = None
                     args = args_full
                     continue
-                active = carry[3]
-                idx = jnp.nonzero(active, size=bucket,
-                                  fill_value=n)[0]
-                valid = idx < n
-                args, carry = _COMPACT_GATHER_JIT(idx, valid,
-                                                  args_full, carry)
+                idx, args, carry = _compact_gather_fused(
+                    carry[3], args_full, carry, bucket)
         while pending:
             cnt, _ = pending.pop(0)
             if int(cnt) == 0:
@@ -590,3 +627,79 @@ def global_chemistry_pass(cfg: ChemistryConfig, state: GridState,
     if isinstance(state.ndens, jax.core.Tracer):
         return _finalize_pass(state, ion, t_inter, t_av)
     return _FINALIZE_JIT(state, ion, t_inter, t_av)
+
+
+def warm_host_shapes(cfg: ChemistryConfig, n: int, dtype=None,
+                     verbose: bool = False):
+    """Pre-build every host-loop body shape a chemistry pass over `n`
+    cells can touch (full set, each bucket rung, tail chunk bodies,
+    fused gathers), so first-use compilation/deserialization never
+    lands inside a timed or production iteration.
+
+    A heating pass visits a data-dependent subset of the bucket ladder
+    each time; through the device tunnel the first use of a shape costs
+    seconds (persistent-cache load) to minutes (cold compile).  Calling
+    this once up front (e.g. in a bench warm-up, or at driver start)
+    makes every later pass's shape set warm.  No-op on cached shapes.
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    if dtype is None:
+        dtype = (_jnp.float32
+                 if _jax.default_backend() == "tpu" else _jnp.float64)
+    default_k = 32 if _jax.default_backend() == "tpu" else 8
+    K_TAIL = _CHEM_CHUNK_ENV or default_k
+    s0 = cfg.thermal_chunk
+    if s0 is None:
+        s0 = 16 if _jax.default_backend() == "tpu" else 0
+    if _THERMAL_CHUNK_ENV is not None:
+        s0 = _THERMAL_CHUNK_ENV
+    use_split = bool(s0 and s0 > 0 and not cfg.isothermal)
+    K_BUCKET_MAX = 65536
+
+    def dummy(size):
+        one = _jnp.ones((size,), dtype=dtype)
+        frac = IonFractions(h0=one * 0.5, h1=one * 0.5, he0=one * 0.5,
+                            he1=one * 0.25, he2=one * 0.25)
+        ion = IonState(cur=frac, avg=frac, old=frac)
+        temper = one * 1.0e4
+        args = (one * 1e-4, one, one * 1e-12, one * 1e-13, one * 1e-14,
+                one * 1e-28, temper)
+        carry = (ion, temper, temper, one > 0.0)
+        return args, carry
+
+    dt = _jnp.asarray(1.0e10, dtype=dtype)
+    ccf = _jnp.asarray(0.0, dtype=dtype)
+    sizes = _bucket_rungs(n) + [n]
+    for size in sizes:
+        args, carry = dummy(size)
+        if size > K_BUCKET_MAX and use_split:
+            out = _host_body_split(cfg, s0, "A")(dt, *args, ccf, carry)
+            ion_new, ctx, tcarry, unfin, _ = out
+            # B at every thermal rung below this size, plus full-set B
+            for b in [r for r in _bucket_rungs(size)
+                      if n // 2 != r or size == n] + [size]:
+                if b < size:
+                    idx, ctx_c, tc_c = _thermal_gather_fused(
+                        unfin, ctx, tcarry, b)
+                    _host_body_split(cfg, s0, "B")(dt, ctx_c, tc_c)
+                    _THERMAL_SCATTER_JIT(idx, tcarry, tc_c)
+                else:
+                    _host_body_split(cfg, s0, "B")(dt, ctx, tcarry)
+            _host_body_split(cfg, s0, "C")(dt, carry, ion_new, ctx,
+                                           tcarry)
+        else:
+            k = K_TAIL if size <= K_BUCKET_MAX else 1
+            _host_body(cfg, k)(dt, *args, ccf, carry)
+            if size > K_BUCKET_MAX or not use_split:
+                _host_body(cfg, 1)(dt, *args, ccf, carry)
+        if verbose:
+            print(f"# warm_host_shapes: {size} done", flush=True)
+    # outer fused compaction gathers: (full shape -> each rung)
+    args, carry = dummy(n)
+    for b in _bucket_rungs(n):
+        _compact_gather_fused(carry[3], args, carry, b)
+        idx = _jnp.zeros((b,), _jnp.int32)
+        ac, cc = _COMPACT_GATHER_JIT(idx, idx < n, args, carry)
+        _COMPACT_SCATTER_JIT(idx, carry, cc)

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--src-per-device", type=int, default=2)
     ap.add_argument("--mode", choices=["source", "domain"],
                     default="source")
+    ap.add_argument("--heating", action="store_true",
+                    help="non-isothermal: 47-band heating + split "
+                         "host-driven chemistry (the round-4 "
+                         "split_chem structure)")
     ap.add_argument("--radius", type=int, default=None,
                     help="domain-mode trace radius (default mesh/4)")
     ap.add_argument("--cpu", action="store_true", default=None)
@@ -57,14 +61,21 @@ def main():
 
     M = args.mesh
     dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    iso = not args.heating
     tables, sed, bands = build_quadrature_tables(
         SEDConfig(bb=BlackBodySED(T_eff=5e4, S_star=3e51)),
-        isothermal=True, dtype=dtype)
+        isothermal=iso, dtype=dtype)
+    if iso:
+        chem = ChemistryConfig(cooling=None, isothermal=True,
+                               isothermal_temperature=1e4)
+    else:
+        from c2ray_tpu.cooling import setup_cooling_tables
+        chem = ChemistryConfig(cooling=setup_cooling_tables(dtype=dtype),
+                               isothermal=False)
     cfg = Evolve3DConfig(
         sweep=SweepConfig(tables=tables, mesh=M, dr=50 * const.kpc / M,
-                          isothermal=True, flux_scale=bands.flux_scale),
-        chem=ChemistryConfig(cooling=None, isothermal=True,
-                             isothermal_temperature=1e4),
+                          isothermal=iso, flux_scale=bands.flux_scale),
+        chem=chem,
         shells=build_shell_table(M))
     state = begin_timestep(initial_grid_state(
         np.full((M,) * 3, 1e-4), 0.0, 0.0, 0.0, 1e4, dtype=dtype))
@@ -87,15 +98,18 @@ def main():
         mesh_dev = Mesh(np.array(jax.devices()[:nd]), ("d",))
         pcfg = ParallelConfig(cfg=cfg, mesh=mesh_dev)
 
+        # heating runs take the TPU-pod code path: sharded sweep +
+        # host-driven split chemistry (split_chem; sharding.py:164-197)
+        split = None if iso else True
         if args.mode == "domain":
             # grid-sharded mode: per-device memory M^3/nd; sources
             # grouped by owning slab (parallel/domain.py)
             radius = min(args.radius or M // 4, max_domain_radius(M))
-            it = make_domain_iteration(pcfg, radius)
+            it = make_domain_iteration(pcfg, radius, split_chem=split)
             sp, nf = group_sources_by_slab(srcpos, nflux, M, nd)
             st = shard_state_slabs(state, mesh_dev)
         else:
-            it = make_parallel_iteration(pcfg)
+            it = make_parallel_iteration(pcfg, split_chem=split)
             sp, nf = pad_sources(srcpos, nflux, nd)
             st = state
         sp, nf = jnp.asarray(sp), jnp.asarray(nf, dtype=dtype)
@@ -115,11 +129,14 @@ def main():
               file=sys.stderr)
 
     best = max(results)
+    phys = "heating" if args.heating else "isothermal"
     print(json.dumps({
-        "metric": f"weak_scaling_efficiency_{args.mode}_{best}dev_mesh{M}",
+        "metric": (f"weak_scaling_efficiency_{args.mode}_{phys}_"
+                   f"{best}dev_mesh{M}"),
         "value": results[best]["weak_efficiency"],
         "unit": "fraction",
         "vs_baseline": 1.0,
+        "detail": {str(k): v for k, v in results.items()},
     }))
 
 
