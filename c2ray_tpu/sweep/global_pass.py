@@ -523,6 +523,14 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
                 k = (min(K_TAIL, cfg.max_iter - nit)
                      if idx is not None and bucket <= K_BUCKET_MAX
                      else 1)
+                # quantize the chunk length to a power of 2: the
+                # remainder before the max_iter cap varies pass to
+                # pass, and an un-quantized k means a fresh k-unrolled
+                # body compile (seconds through the tunnel) in almost
+                # every pass; {1,2,4,...,K_TAIL} is a fixed, warmable
+                # shape set and still lands exactly on max_iter
+                if k > 1:
+                    k = 1 << (k.bit_length() - 1)
                 carry, cnt = (_host_body(cfg, k) if k > 1
                               else body)(dt, *args, ccf, carry)
             nit += k
@@ -678,8 +686,7 @@ def warm_host_shapes(cfg: ChemistryConfig, n: int, dtype=None,
             out = _host_body_split(cfg, s0, "A")(dt, *args, ccf, carry)
             ion_new, ctx, tcarry, unfin, _ = out
             # B at every thermal rung below this size, plus full-set B
-            for b in [r for r in _bucket_rungs(size)
-                      if n // 2 != r or size == n] + [size]:
+            for b in _bucket_rungs(size) + [size]:
                 if b < size:
                     idx, ctx_c, tc_c = _thermal_gather_fused(
                         unfin, ctx, tcarry, b)
@@ -690,10 +697,14 @@ def warm_host_shapes(cfg: ChemistryConfig, n: int, dtype=None,
             _host_body_split(cfg, s0, "C")(dt, carry, ion_new, ctx,
                                            tcarry)
         else:
-            k = K_TAIL if size <= K_BUCKET_MAX else 1
-            _host_body(cfg, k)(dt, *args, ccf, carry)
-            if size > K_BUCKET_MAX or not use_split:
-                _host_body(cfg, 1)(dt, *args, ccf, carry)
+            if size <= K_BUCKET_MAX:
+                # every power-of-2 chunk length the quantized tail can
+                # dispatch at this rung
+                k = K_TAIL
+                while k > 1:
+                    _host_body(cfg, k)(dt, *args, ccf, carry)
+                    k //= 2
+            _host_body(cfg, 1)(dt, *args, ccf, carry)
         if verbose:
             print(f"# warm_host_shapes: {size} done", flush=True)
     # outer fused compaction gathers: (full shape -> each rung)
