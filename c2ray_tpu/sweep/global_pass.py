@@ -679,38 +679,62 @@ def warm_host_shapes(cfg: ChemistryConfig, n: int, dtype=None,
 
     dt = _jnp.asarray(1.0e10, dtype=dtype)
     ccf = _jnp.asarray(0.0, dtype=dtype)
+
+    def guard(fn, *a):
+        # the remote-compile tunnel can drop transiently; a failed
+        # warm shape is retried once, then skipped (it will compile
+        # on first real use instead -- slower, never wrong)
+        for attempt in (0, 1):
+            try:
+                return fn(*a)
+            except Exception as e:  # pragma: no cover - tunnel flake
+                if attempt:
+                    import warnings
+                    warnings.warn(f"warm_host_shapes: shape skipped "
+                                  f"({e})", stacklevel=2)
+                    return None
+
     sizes = _bucket_rungs(n) + [n]
     for size in sizes:
         args, carry = dummy(size)
         if size > K_BUCKET_MAX and use_split:
-            out = _host_body_split(cfg, s0, "A")(dt, *args, ccf, carry)
+            out = guard(_host_body_split(cfg, s0, "A"),
+                        dt, *args, ccf, carry)
+            if out is None:
+                continue
             ion_new, ctx, tcarry, unfin, _ = out
             # B at every thermal rung below this size, plus full-set B
             for b in _bucket_rungs(size) + [size]:
                 if b < size:
-                    idx, ctx_c, tc_c = _thermal_gather_fused(
-                        unfin, ctx, tcarry, b)
-                    _host_body_split(cfg, s0, "B")(dt, ctx_c, tc_c)
-                    _THERMAL_SCATTER_JIT(idx, tcarry, tc_c)
+                    g = guard(_thermal_gather_fused, unfin, ctx,
+                              tcarry, b)
+                    if g is None:
+                        continue
+                    idx, ctx_c, tc_c = g
+                    guard(_host_body_split(cfg, s0, "B"), dt, ctx_c,
+                          tc_c)
+                    guard(_THERMAL_SCATTER_JIT, idx, tcarry, tc_c)
                 else:
-                    _host_body_split(cfg, s0, "B")(dt, ctx, tcarry)
-            _host_body_split(cfg, s0, "C")(dt, carry, ion_new, ctx,
-                                           tcarry)
+                    guard(_host_body_split(cfg, s0, "B"), dt, ctx,
+                          tcarry)
+            guard(_host_body_split(cfg, s0, "C"), dt, carry, ion_new,
+                  ctx, tcarry)
         else:
             if size <= K_BUCKET_MAX:
                 # every power-of-2 chunk length the quantized tail can
                 # dispatch at this rung
                 k = K_TAIL
                 while k > 1:
-                    _host_body(cfg, k)(dt, *args, ccf, carry)
+                    guard(_host_body(cfg, k), dt, *args, ccf, carry)
                     k //= 2
-            _host_body(cfg, 1)(dt, *args, ccf, carry)
+            guard(_host_body(cfg, 1), dt, *args, ccf, carry)
         if verbose:
             print(f"# warm_host_shapes: {size} done", flush=True)
     # outer fused compaction gathers: (full shape -> each rung)
     args, carry = dummy(n)
     for b in _bucket_rungs(n):
-        _compact_gather_fused(carry[3], args, carry, b)
+        guard(_compact_gather_fused, carry[3], args, carry, b)
         idx = _jnp.zeros((b,), _jnp.int32)
-        ac, cc = _COMPACT_GATHER_JIT(idx, idx < n, args, carry)
-        _COMPACT_SCATTER_JIT(idx, carry, cc)
+        cc = guard(_COMPACT_GATHER_JIT, idx, idx < n, args, carry)
+        if cc is not None:
+            guard(_COMPACT_SCATTER_JIT, idx, carry, cc[1])
