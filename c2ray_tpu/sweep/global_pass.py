@@ -481,6 +481,10 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         default_k = 32 if jax.default_backend() == "tpu" else 8
         K_TAIL = _CHEM_CHUNK_ENV or default_k
         K_BUCKET_MAX = 65536
+        # two-phase trips pay 3 dispatches + a host sync (~60-90 ms
+        # through the tunnel); below this bucket a monolithic trip's
+        # lockstep thermal is cheaper than the split's fixed overhead
+        K_SPLIT_MIN = 131072
         # two-phase thermal on the big-bucket phase (see
         # _host_body_split): auto-on for TPU heating runs, where the
         # stiff-minority lockstep otherwise dominates the trip
@@ -512,7 +516,7 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         # empty active mask keeps every value).
         pending = []
         while nit < cfg.max_iter:
-            if use_split and bucket > K_BUCKET_MAX:
+            if use_split and bucket > K_SPLIT_MIN:
                 # two-phase trip (phase A syncs internally to size its
                 # thermal bucket; the trip's own convergence count is
                 # read through the depth-2 pipeline below like any
@@ -665,6 +669,7 @@ def warm_host_shapes(cfg: ChemistryConfig, n: int, dtype=None,
         s0 = _THERMAL_CHUNK_ENV
     use_split = bool(s0 and s0 > 0 and not cfg.isothermal)
     K_BUCKET_MAX = 65536
+    K_SPLIT_MIN = 131072
 
     def dummy(size):
         one = _jnp.ones((size,), dtype=dtype)
@@ -697,7 +702,7 @@ def warm_host_shapes(cfg: ChemistryConfig, n: int, dtype=None,
     sizes = _bucket_rungs(n) + [n]
     for size in sizes:
         args, carry = dummy(size)
-        if size > K_BUCKET_MAX and use_split:
+        if size > K_SPLIT_MIN and use_split:
             out = guard(_host_body_split(cfg, s0, "A"),
                         dt, *args, ccf, carry)
             if out is None:
