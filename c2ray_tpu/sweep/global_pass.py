@@ -517,12 +517,15 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
         pending = []
         while nit < cfg.max_iter:
             if use_split and bucket > K_SPLIT_MIN:
-                # two-phase trip (phase A syncs internally to size its
-                # thermal bucket; the trip's own convergence count is
-                # read through the depth-2 pipeline below like any
-                # other trip's)
+                # two-phase trip.  Read its convergence count
+                # synchronously: phase A already syncs once inside the
+                # trip, so the marginal round trip is small, and a
+                # fresh count compacts THIS trip's active set -- the
+                # pipelined (stale) count costs one oversized trip at
+                # every rung of the early-pass descent
                 carry, cnt = _split_trip(cfg, s0, dt, args, ccf, carry)
-                k = 1
+                nit += 1
+                count = int(cnt)
             else:
                 k = (min(K_TAIL, cfg.max_iter - nit)
                      if idx is not None and bucket <= K_BUCKET_MAX
@@ -537,12 +540,12 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
                     k = 1 << (k.bit_length() - 1)
                 carry, cnt = (_host_body(cfg, k) if k > 1
                               else body)(dt, *args, ccf, carry)
-            nit += k
-            pending.append((cnt, k))
-            if len(pending) < 2 and nit < cfg.max_iter:
-                continue
-            count, _ = pending.pop(0)
-            count = int(count)
+                nit += k
+                pending.append((cnt, k))
+                if len(pending) < 2 and nit < cfg.max_iter:
+                    continue
+                count, _ = pending.pop(0)
+                count = int(count)
             if count == 0:
                 # everything dispatched after the converged chunk was a
                 # masked no-op; don't count those trips in nit
