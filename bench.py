@@ -134,14 +134,14 @@ def _bench_one(isothermal: bool, mesh: int, n_iter: int, n_nodes="auto"):
 def _run_config(isothermal: bool, mesh: int, n_iter: int, reserve: float):
     """Run one config in a subprocess under the remaining budget.
 
-    Quadrature: the fixed 8-node rule first (the on-chip A/B winner,
+    Quadrature: the fixed 6-node rule first (the round-5 A/B winner:
+    3.7e-6 of the dense reference at 25% fewer exp terms than 8,
     radiation/quadrature.py DEFAULT_NODES).  A FAULT (rc != 0) is
-    retried once with the adaptive "auto" blocks if budget remains; a
-    TIMEOUT is never retried (the fallback is slower, so a retry can
-    only time out again).  Returns (rate, secs_per_iter, quad, error).
+    retried once with the 8-node rule if budget remains; a TIMEOUT is
+    never retried.  Returns (rate, secs_per_iter, quad, error).
     """
     err = None
-    for nodes in ("8", "auto"):
+    for nodes in ("6", "8"):
         budget = _remaining() - reserve
         if budget < 120:
             return None, None, None, (err or "") + " | no budget left"

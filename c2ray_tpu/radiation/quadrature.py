@@ -47,7 +47,14 @@ from .sed import (SEDConfig, blackbody_photon_density, normalize_seds,
 # uniform (nlive, K) layout gets.  Fewer FLOPs lost to worse
 # vectorization: the fixed rule is the default; "auto" remains
 # available and accuracy-pinned (tests/test_quadrature_pin.py).
-DEFAULT_NODES = 8
+# Fixed Gauss-Legendre nodes per band.  6 nodes reproduce the dense
+# 48-node band integrals to 3.7e-6 max relative error over tau in
+# [1e-8, 1e7] (tests/test_quadrature_pin.py::test_default_rule_... and
+# tools/roofline_sweep.py) -- far below the reference tau-table's own
+# interpolation error -- while cutting the sweep's exp terms 25%
+# vs the round-1..4 8-node rule (128^3 iso sweep 0.203 -> 0.173 s,
+# heating 0.493 -> 0.369 s on v5e).
+DEFAULT_NODES = 6
 
 # error budget for the "auto" per-band node counts: max relative error
 # of the band photon/heat integrals vs a 48-node reference, over

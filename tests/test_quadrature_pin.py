@@ -123,3 +123,35 @@ def test_auto_heating_matches_dense_reference():
     mask = np.abs(b) > 1e-10 * scale
     err = np.abs(a - b)[mask] / np.abs(b)[mask]
     assert err.max() < 5e-5, err.max()
+
+
+def test_default_rule_matches_dense_reference():
+    """The shipped DEFAULT_NODES rule must reproduce a dense 48-node
+    reference to ~1e-5 on every output field over tau in [1e-8, 1e7]
+    (the round-5 A/B that set DEFAULT_NODES=6)."""
+    from c2ray_tpu.radiation.quadrature import DEFAULT_NODES
+
+    sed = SEDConfig(bb=BlackBodySED(T_eff=5.0e4, S_star=1.0e48))
+    cols = _columns()
+    for heating in (False, True):
+        qt_ref, _, _ = build_quadrature_tables(
+            sed, isothermal=not heating, n_nodes=48, flux_scale=1.0,
+            dtype=jnp.float64)
+        qt_def, _, _ = build_quadrature_tables(
+            sed, isothermal=not heating, n_nodes=DEFAULT_NODES,
+            flux_scale=1.0, dtype=jnp.float64)
+        ci, co, hi_, ho, hhi, hho, z = cols
+        one = jnp.ones(ci.shape[0])
+        kw = dict(nflux_bb=one, do_heating=heating)
+        r = photoion_rates_quad(qt_ref, ci, co, hi_, ho, hhi, hho,
+                                one, z + 0.5, **kw)
+        t = photoion_rates_quad(qt_def, ci, co, hi_, ho, hhi, hho,
+                                one, z + 0.5, **kw)
+        for name in ("photo_cell_HI", "photo_cell_HeI",
+                     "photo_cell_HeII", "heat"):
+            a = np.asarray(getattr(r, name))
+            b = np.asarray(getattr(t, name))
+            if a.size == 0 or np.all(a == 0):
+                continue
+            scale = np.maximum(np.abs(a), np.abs(a).max() * 1e-12)
+            assert np.max(np.abs(b - a) / scale) < 1e-5, name
