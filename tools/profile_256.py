@@ -50,7 +50,7 @@ def main(mesh=256, n_src=8):
     n = mesh ** 3
     tables, sed, bands = build_quadrature_tables(
         SEDConfig(bb=BlackBodySED(T_eff=5e4, S_star=3e51)),
-        isothermal=True, dtype=dtype, n_nodes=8)
+        isothermal=True, dtype=dtype)
     dr = 50.0 * const.kpc / mesh
     base_cfg = SweepConfig(tables=tables, mesh=mesh, dr=dr,
                            isothermal=True,

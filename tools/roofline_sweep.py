@@ -42,7 +42,10 @@ def timed(fn, *args, n=3):
 
 def accuracy_vs_dense(n_nodes, isothermal, dense=48):
     """Max relative error of the K-node rule vs a dense reference over
-    the full tau range (CPU f64)."""
+    the full tau range.  MUST run under f64 (jax_enable_x64 + CPU):
+    the 1e48-scale photon rates overflow f32 and the comparison NaNs
+    -- main() therefore shells out to `--accuracy` with the right
+    env."""
     import jax.numpy as jnp
 
     from c2ray_tpu.radiation import BlackBodySED, SEDConfig
@@ -165,18 +168,40 @@ def main(mesh=128, n_src=8):
                   f"({exps_per_cell} exps/cell) = "
                   f"{frac*100:.0f}% of exp roof", flush=True)
 
-    # --- 4b. accuracy of the reduced rules (CPU f64, dense reference)
+    # --- 4b. accuracy of the reduced rules: needs f64, so run in a
+    # CPU+x64 subprocess (this process holds the TPU in f32)
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="true")
     for K in (6, 5):
         for iso in (True, False):
-            maxerr, errs = accuracy_vs_dense(K, iso)
-            out[f"accuracy_K{K}_{'iso' if iso else 'heat'}"] = {
-                "max_rel_err_vs_48node": maxerr, "fields": errs}
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--accuracy", str(K), "1" if iso else "0"],
+                capture_output=True, text=True, env=env, timeout=600)
+            line = [l for l in r.stdout.splitlines()
+                    if l.startswith("{")]
+            res = (json.loads(line[-1]) if line
+                   else {"error": r.stderr[-200:]})
+            out[f"accuracy_K{K}_{'iso' if iso else 'heat'}"] = res
             print(f"# accuracy K={K} {'iso' if iso else 'heat'}: "
-                  f"max rel err vs 48-node = {maxerr:.2e}", flush=True)
+                  f"{res}", flush=True)
 
     print(json.dumps(out), flush=True)
 
 
+def accuracy_main(K, iso):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    maxerr, errs = accuracy_vs_dense(K, iso)
+    print(json.dumps({"max_rel_err_vs_48node": maxerr,
+                      "fields": errs}), flush=True)
+
+
 if __name__ == "__main__":
-    a = [int(x) for x in sys.argv[1:]]
-    main(*a)
+    if len(sys.argv) > 1 and sys.argv[1] == "--accuracy":
+        accuracy_main(int(sys.argv[2]), sys.argv[3] == "1")
+    else:
+        a = [int(x) for x in sys.argv[1:]]
+        main(*a)
