@@ -159,9 +159,14 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None,
     # sub-cycle miscompiles to a device kernel fault (see
     # _do_chemistry_global's host_loop contract), so the heating
     # iteration is split: jitted sweep + host-level chemistry loop.
-    # Isothermal (and CPU) keep the single fused program.
-    split_chem = (not cfg.chem.isothermal
-                  and jax.default_backend() == "tpu")
+    # Big isothermal grids split too: the fused in-graph fixed point
+    # runs every cell through every iteration (no compaction), which
+    # at 256^3 is 5-10x the compacting host loop's cost
+    # (tools/profile_256.py).  Small isothermal (and CPU) keep the
+    # single fused program.
+    split_chem = (jax.default_backend() == "tpu"
+                  and (not cfg.chem.isothermal
+                       or cfg.sweep.mesh ** 3 >= (1 << 24)))
 
     if split_chem:
         sweep_jit = jax.jit(_sweep)

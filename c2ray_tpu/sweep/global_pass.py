@@ -454,7 +454,12 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
     temper0 = temper1_0
 
     if host_loop is None:
-        host_loop = (not cfg.isothermal
+        # big isothermal grids also benefit from the host loop: the
+        # in-graph lockstep runs EVERY cell through every fixed-point
+        # iteration, which at 256^3 costs ~4-8 s/pass on-chip while
+        # the compacting host loop pays only for the active set
+        # (tools/profile_256.py, round 5)
+        host_loop = ((not cfg.isothermal or ndens.size >= (1 << 24))
                      and jax.default_backend() == "tpu"
                      and not isinstance(ndens, jax.core.Tracer))
 

@@ -478,7 +478,10 @@ def _source_chunk(cfg: SweepConfig, S: int, M: int,
     if explicit:
         return max(1, min(int(explicit), S))
     per_src = M ** 3 * 10 * itemsize
-    c = max(1, min(S, (2 ** 31) // per_src))
+    # budget measured on-chip (round 5): chunk=4 at 256^3 f32 fits a
+    # 16 GB v5e alongside the state + tables and runs 38% faster than
+    # chunk=2 (tools/profile_256.py); chunk=8 fails to compile
+    c = max(1, min(S, (2 ** 32) // per_src))
     if c < S:
         # prefer a divisor of S (no padded no-op traces) unless that
         # would halve the chunk
