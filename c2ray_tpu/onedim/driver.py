@@ -66,11 +66,18 @@ class OneDRun:
                               r_out=grid.r_out * zfactor, mesh=grid.mesh)
             cosmo_cool_factor = float(clock.cosmo_cool_rate(1.0))
 
+        # shell volumes enter the rate evaluation divided by the
+        # tables' flux scale: the division happens on the HOST in f64
+        # (raw kpc-scale shell volumes ~1e66 cm^3 overflow f32 on the
+        # TPU backend; the scaled tables make the product physical)
+        fscale = float(getattr(bands, "flux_scale", 1.0) or 1.0)
         ctx = OneDContext(
             tables=tables,
             cooling=cooling,
             dr=grid.dr,
-            vol=jnp.asarray(grid.vol, dtype=dtype),
+            vol=jnp.asarray(np.asarray(grid.vol, dtype=np.float64)
+                            / fscale, dtype=dtype),
+            flux_scale=fscale,
             clumping=problem.clumping,
             isothermal=problem.isothermal,
             gamma_uvb=problem.gamma_uvb,
@@ -109,7 +116,9 @@ class OneDRun:
             ctx = OneDContext(**{**self.ctx.__dict__,
                                  "dr": self.grid.dr,
                                  "vol": jnp.asarray(
-                                     self.grid.vol,
+                                     np.asarray(self.grid.vol,
+                                                dtype=np.float64)
+                                     / self.ctx.flux_scale,
                                      dtype=self.state.ndens.dtype)})
             self.ctx = ctx
             self._step_fn = make_evolve1d(ctx)

@@ -70,6 +70,10 @@ class OneDContext:
     has_pl: bool = False
     has_qso: bool = False
     max_cell_iter: int = MAX_CELL_ITER
+    # the radiation tables' flux scale: `vol` is stored DIVIDED by it
+    # (f32 range guard -- raw shell volumes ~1e66 cm^3 overflow f32 on
+    # TPU; the scaled tables x scaled volumes cancel exactly)
+    flux_scale: float = 1.0
 
 
 def _cell_photorates(ctx: OneDContext, cd_in, cc_cell, vol_ph, i_state):

@@ -101,12 +101,13 @@ def main():
     ok = True
     out = {"backend": backend}
     for name, err, tol in cases:
-        status = "PASS" if err < tol else "FAIL"
-        ok = ok and err < tol
+        good = bool(err < tol)
+        status = "PASS" if good else "FAIL"
+        ok = ok and good
         out[name] = {"front_rel_err": round(float(err), 5), "tol": tol}
         print(f"{status} {name}: front rel err {err:.4f} (tol {tol})",
               flush=True)
-    out["all_pass"] = ok
+    out["all_pass"] = bool(ok)
     print(json.dumps(out), flush=True)
     sys.exit(0 if ok else 1)
 
