@@ -91,6 +91,11 @@ def hbm_ladder(mesh=128):
         stats = device_memory_bytes()
         peak = max((s["peak_bytes_in_use"] for s in stats.values()),
                    default=0)
+        # the axon tunnel device returns memory_stats() = None, so
+        # real HBM telemetry is unavailable here; the behavioral OOM
+        # boundaries stand in as hardware evidence (256^3 vmapped-8
+        # sweep OOMs at ~26 GB, source chunk 8 fails to compile,
+        # chunk 4 fits -- tools/profile_256.py)
         model = domain_memory_elements(M, 1, radius) * itemsize
         rows[radius] = {
             "peak_hbm_bytes": int(peak),
