@@ -42,10 +42,16 @@ T_START = time.time()
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1700))
 MESH = int(os.environ.get("BENCH_MESH", 128))
 N_SRC = int(os.environ.get("BENCH_SOURCES", 8))
-N_ITER = int(os.environ.get("BENCH_ITERS", 2))
+# 4 iterations: a real evolve3D timestep runs 3-6 convergence
+# iterations, and individual pass difficulty is bimodal (an evolved
+# state can tip a cell minority into the fixed point's >1%
+# oscillation regime and that pass then runs toward the 400-iteration
+# cap -- the same per-cell cap the reference runs).  Averaging 4
+# passes makes the headline represent the loop, not one pass's luck.
+N_ITER = int(os.environ.get("BENCH_ITERS", 4))
 # >= 2 iterations so the headline heating number is never a single
 # multi-second sample through the tunnel (VERDICT r4 weak #6)
-HEAT_ITERS = int(os.environ.get("BENCH_HEAT_ITERS", 2))
+HEAT_ITERS = int(os.environ.get("BENCH_HEAT_ITERS", 4))
 # round-1 recorded value of the SAME isothermal config on 1 TPU chip
 # (BENCH_r01.json / BASELINE.md "Measured"): vs_baseline tracks our own
 # progression because the reference publishes no numbers
@@ -112,10 +118,9 @@ def _bench_one(isothermal: bool, mesh: int, n_iter: int, n_nodes="auto"):
     # of the host-loop bucket ladder; pre-building every shape here
     # keeps first-use compilation/deserialization out of the timed
     # iterations (the warm-up iteration alone only covers ITS shapes).
-    if not isothermal:
-        from c2ray_tpu.sweep.global_pass import warm_host_shapes
-        warm_host_shapes(chem_cfg, mesh ** 3)
-        print(f"SHAPES-WARM {time.perf_counter():.1f}", flush=True)
+    from c2ray_tpu.sweep.global_pass import warm_host_shapes
+    warm_host_shapes(chem_cfg, mesh ** 3)
+    print(f"SHAPES-WARM {time.perf_counter():.1f}", flush=True)
     state1, conv, _, _ = iteration(state, srcpos, nflux, dt)
     jax.block_until_ready(state1.h_av1)
     print(f"WARM {time.perf_counter():.1f}", flush=True)

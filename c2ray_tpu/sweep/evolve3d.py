@@ -155,21 +155,29 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None,
         return sweep_sources_accumulate(cfg.sweep, cfg.shells,
                                         fields, srcpos, nflux)
 
-    # On TPU, a while_loop body holding both doric and thermal's nested
-    # sub-cycle miscompiles to a device kernel fault (see
-    # _do_chemistry_global's host_loop contract), so the heating
-    # iteration is split: jitted sweep + host-level chemistry loop.
-    # Big isothermal grids split too: the fused in-graph fixed point
-    # runs every cell through every iteration (no compaction), which
-    # at 256^3 is 5-10x the compacting host loop's cost
-    # (tools/profile_256.py).  Small isothermal (and CPU) keep the
-    # single fused program.
-    split_chem = (jax.default_backend() == "tpu"
-                  and (not cfg.chem.isothermal
-                       or cfg.sweep.mesh ** 3 >= (1 << 24)))
+    # On TPU the iteration is ALWAYS split into {jitted sweep} +
+    # {chemistry}:
+    # - heating: the chemistry runs as a host-level loop (an in-graph
+    #   while_loop holding both doric and thermal faults -- see
+    #   _do_chemistry_global's host_loop contract);
+    # - big isothermal grids (>= 2^24 cells): host loop too -- the
+    #   fused in-graph fixed point runs every cell through every
+    #   iteration (no compaction), 5-10x the compacting host loop's
+    #   cost at 256^3 (tools/profile_256.py);
+    # - small isothermal: host loop as well -- the in-graph lockstep
+    #   pass is bimodal (an easy pass converges in ~5 iterations at
+    #   ~0.03 s, but evolved states can tip a cell minority into the
+    #   >1% oscillation regime and the whole grid then runs toward
+    #   the 400 cap: 0.75 s measured at 128^3; round-5 bench bisect),
+    #   while the compacting host loop pays only for the active set.
+    # CPU keeps the single fused program.
+    split_chem = jax.default_backend() == "tpu"
+    iso_in_graph = False
 
     if split_chem:
         sweep_jit = jax.jit(_sweep)
+        chem_jit = jax.jit(lambda st, rt, dt_, ccf: global_chemistry_pass(
+            cfg.chem, st, rt, dt_, ccf, host_loop=False))
 
         def iteration(state: GridState, srcpos, nflux, dt, dr=None,
                       vol_over_scale=None, cosmo_cool_factor=None,
@@ -181,9 +189,16 @@ def make_evolve3d_iteration(cfg: Evolve3DConfig, radius=None,
                     cfg.sweep.vol / cfg.sweep.flux_scale, dtype=dtype)
             rates = sweep_jit(state, srcpos, nflux, dr, vol_over_scale,
                               lls_grid)
-            new_state, conv_flag = global_chemistry_pass(
-                cfg.chem, state, rates, dt, cosmo_cool_factor,
-                host_loop=True)
+            if iso_in_graph:
+                ccf = (jnp.asarray(cfg.chem.cosmo_cool_factor,
+                                   dtype=dtype)
+                       if cosmo_cool_factor is None
+                       else cosmo_cool_factor)
+                new_state, conv_flag = chem_jit(state, rates, dt, ccf)
+            else:
+                new_state, conv_flag = global_chemistry_pass(
+                    cfg.chem, state, rates, dt, cosmo_cool_factor,
+                    host_loop=True)
             if return_rates:
                 return (new_state, conv_flag, rates.photon_loss,
                         rates.lls_loss, rates)

@@ -35,6 +35,18 @@ MIN_FRACTIONAL_CHANGE = 1.0e-2
 MIN_FRACTION_OF_ATOMS = 1.0e-8
 MAX_CHEM_ITER = 400
 
+# Damped Picard: past this many fixed-point iterations, successive
+# iterates are averaged (x' = (x_new + x_prev)/2).  In f32 a cell
+# minority's iterate map is locally unstable and enters a >1% limit
+# cycle that runs to the 400 cap (f64 converges the same passes in ~2
+# iterations -- round-5 measurement); damping contracts those cells to
+# the f64 fixed point instead of stopping at an arbitrary phase of the
+# oscillation.  Plain (reference, evolve_point.F90:487-640) iteration
+# is untouched below the threshold, so every pass that converges
+# normally is bit-identical to the undamped scheme.
+DAMP_AFTER = 50
+DAMP_FACTOR = 0.5
+
 
 @dataclass(frozen=True)
 class ChemistryConfig:
@@ -127,15 +139,23 @@ def _conv_freeze(cfg: ChemistryConfig, carry, ion_new, temper1_new,
 
 def _chem_iteration(cfg: ChemistryConfig, dt, ndens, clumping,
                     phi_HI, phi_HeI, phi_HeII, phi_heat,
-                    temper0, fixed_rates, cosmo_cool_factor, carry):
+                    temper0, fixed_rates, cosmo_cool_factor, carry,
+                    damp=None):
     """One masked chemistry fixed-point iteration
     (evolve_point.F90:487-640): {electron density -> T-dependent rates
     -> two doric passes averaged -> thermal} with converged cells
-    frozen.  carry = (ion, temper1, avg_t, active)."""
+    frozen.  carry = (ion, temper1, avg_t, active).
+
+    `damp` (traced scalar or None): blend factor toward the previous
+    iterate (see DAMP_AFTER); 0 = the reference's plain iteration."""
     ion, temper1, avg_t, active = carry
     ion_new, de = _doric_half(cfg, dt, ndens, clumping, phi_HI,
                               phi_HeI, phi_HeII, fixed_rates, ion,
                               avg_t)
+    if damp is not None:
+        blend = lambda new, old: new + damp * (old - new)
+        ion_new = jax.tree.map(blend, ion_new, ion)
+        de = electrondens(ndens, ion_new.avg)
 
     temper1_new = temper0
     avg_t_new = avg_t
@@ -144,6 +164,9 @@ def _chem_iteration(cfg: ChemistryConfig, dt, ndens, clumping,
                      cfg.cooling, cosmo_cool_factor)
         temper1_new = tr.end_temper
         avg_t_new = tr.avg_temper
+        if damp is not None:
+            temper1_new = blend(temper1_new, temper1)
+            avg_t_new = blend(avg_t_new, avg_t)
 
     return _conv_freeze(cfg, carry, ion_new, temper1_new, avg_t_new)
 
@@ -201,17 +224,19 @@ def _host_body(cfg: ChemistryConfig, k: int = 1):
     fn = _HOST_BODY_JIT.pop(key, None)
     if fn is None:
         def body(dt, ndens, clumping, phi_HI, phi_HeI, phi_HeII,
-                 phi_heat, temper0, ccf, carry):
+                 phi_heat, temper0, ccf, nit0, carry):
             # isothermal host loops need the fixed T-independent rates
             # the in-graph path precomputes (cgsconstants.f90:270-289);
             # temper0 is the constant isothermal temperature grid
             fixed = (rate_coefficients(temper0) if cfg.isothermal
                      else None)
-            for _ in range(k):
+            for j in range(k):
+                damp = jnp.where(nit0 + j >= DAMP_AFTER,
+                                 DAMP_FACTOR, 0.0).astype(dt.dtype)
                 carry = _chem_iteration(cfg, dt, ndens, clumping,
                                         phi_HI, phi_HeI, phi_HeII,
                                         phi_heat, temper0, fixed, ccf,
-                                        carry)
+                                        carry, damp=damp)
             return carry, jnp.sum(carry[3].astype(jnp.int32))
 
         # jax.jit retraces per input shape, so the same cached callable
@@ -242,11 +267,16 @@ def _host_body_split(cfg: ChemistryConfig, s0: int, phase: str):
     if fn is None:
         if phase == "A":
             def body(dt, ndens, clumping, phi_HI, phi_HeI, phi_HeII,
-                     phi_heat, temper0, ccf, carry):
+                     phi_heat, temper0, ccf, nit0, carry):
                 ion, temper1, avg_t, active = carry
                 ion_new, de = _doric_half(cfg, dt, ndens, clumping,
                                           phi_HI, phi_HeI, phi_HeII,
                                           None, ion, avg_t)
+                damp = jnp.where(nit0 >= DAMP_AFTER, DAMP_FACTOR,
+                                 0.0).astype(dt.dtype)
+                blend = lambda new, old: new + damp * (old - new)
+                ion_new = jax.tree.map(blend, ion_new, ion)
+                de = electrondens(ndens, ion_new.avg)
                 ctx, tcarry = thermal_init(dt, temper0, de, ndens,
                                            ion_new, phi_heat, ccf)
                 tcarry, _ = thermal_substeps(cfg.cooling, dt, ctx,
@@ -264,8 +294,12 @@ def _host_body_split(cfg: ChemistryConfig, s0: int, phase: str):
                                                MAX_SUBSTEPS)
                 return tcarry_c
         else:  # "C"
-            def body(dt, carry, ion_new, ctx, tcarry):
+            def body(dt, carry, ion_new, ctx, tcarry, nit0):
                 end_T, avg_T = thermal_finalize(ctx, tcarry, dt)
+                damp = jnp.where(nit0 >= DAMP_AFTER, DAMP_FACTOR,
+                                 0.0).astype(dt.dtype)
+                end_T = end_T + damp * (carry[1] - end_T)
+                avg_T = avg_T + damp * (carry[2] - avg_T)
                 out = _conv_freeze(cfg, carry, ion_new, end_T, avg_T)
                 return out, jnp.sum(out[3].astype(jnp.int32))
         fn = jax.jit(body)
@@ -316,12 +350,14 @@ def _thermal_scatter(idx, tcarry_full, tcarry_c):
 _THERMAL_SCATTER_JIT = jax.jit(_thermal_scatter)
 
 
-def _split_trip(cfg: ChemistryConfig, s0: int, dt, args, ccf, carry):
+def _split_trip(cfg: ChemistryConfig, s0: int, dt, args, ccf, nit0,
+                carry):
     """One two-phase chemistry trip (see _host_body_split).  Returns
     (carry, active_count) -- the count is fresh (synchronous), so the
-    caller can compact on it immediately."""
+    caller can compact on it immediately.  `nit0` (traced) is the
+    global fixed-point iteration index, for the DAMP_AFTER rule."""
     ion_new, ctx, tcarry, unfin, n_unfin = _host_body_split(
-        cfg, s0, "A")(dt, *args, ccf, carry)
+        cfg, s0, "A")(dt, *args, ccf, nit0, carry)
     cnt = int(n_unfin)
     if cnt:
         nn = tcarry.u.size
@@ -334,7 +370,7 @@ def _split_trip(cfg: ChemistryConfig, s0: int, dt, args, ccf, carry):
         else:
             tcarry = _host_body_split(cfg, s0, "B")(dt, ctx, tcarry)
     carry, cnt2 = _host_body_split(cfg, s0, "C")(dt, carry, ion_new,
-                                                 ctx, tcarry)
+                                                 ctx, tcarry, nit0)
     return carry, cnt2
 
 
@@ -454,13 +490,13 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
     temper0 = temper1_0
 
     if host_loop is None:
-        # big isothermal grids also benefit from the host loop: the
-        # in-graph lockstep runs EVERY cell through every fixed-point
-        # iteration, which at 256^3 costs ~4-8 s/pass on-chip while
-        # the compacting host loop pays only for the active set
-        # (tools/profile_256.py, round 5)
-        host_loop = ((not cfg.isothermal or ndens.size >= (1 << 24))
-                     and jax.default_backend() == "tpu"
+        # isothermal grids use the host loop on TPU too: the in-graph
+        # lockstep runs EVERY cell through every fixed-point
+        # iteration -- 4-8 s/pass at 256^3, and 0.75 s at 128^3 when
+        # an evolved state tips cells into the >1% oscillation regime
+        # -- while the compacting host loop pays only for the active
+        # set (tools/profile_256.py, round-5 bench bisect)
+        host_loop = (jax.default_backend() == "tpu"
                      and not isinstance(ndens, jax.core.Tracer))
 
     active0 = jnp.ones_like(ndens, dtype=bool)
@@ -528,7 +564,8 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
                 # fresh count compacts THIS trip's active set -- the
                 # pipelined (stale) count costs one oversized trip at
                 # every rung of the early-pass descent
-                carry, cnt = _split_trip(cfg, s0, dt, args, ccf, carry)
+                carry, cnt = _split_trip(cfg, s0, dt, args, ccf,
+                                         jnp.int32(nit), carry)
                 nit += 1
                 count = int(cnt)
             else:
@@ -544,7 +581,8 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
                 if k > 1:
                     k = 1 << (k.bit_length() - 1)
                 carry, cnt = (_host_body(cfg, k) if k > 1
-                              else body)(dt, *args, ccf, carry)
+                              else body)(dt, *args, ccf,
+                                         jnp.int32(nit), carry)
                 nit += k
                 pending.append((cnt, k))
                 if len(pending) < 2 and nit < cfg.max_iter:
@@ -590,10 +628,13 @@ def _do_chemistry_global(cfg: ChemistryConfig, dt, state: GridState,
 
     def body(carry):
         ion, temper1, avg_t, nit, active = carry
+        damp = jnp.where(nit >= DAMP_AFTER, DAMP_FACTOR,
+                         0.0).astype(ndens.dtype)
         out = _chem_iteration(cfg, dt, ndens, clumping, phi_HI,
                               phi_HeI, phi_HeII, phi_heat, temper0,
                               fixed_rates, cosmo_cool_factor,
-                              (ion, temper1, avg_t, active))
+                              (ion, temper1, avg_t, active),
+                              damp=damp)
         ion, temper1, avg_t, active = out
         return (ion, temper1, avg_t, nit + 1, active)
 
@@ -710,9 +751,10 @@ def warm_host_shapes(cfg: ChemistryConfig, n: int, dtype=None,
     sizes = _bucket_rungs(n) + [n]
     for size in sizes:
         args, carry = dummy(size)
+        nit0 = _jnp.int32(0)
         if size > K_SPLIT_MIN and use_split:
             out = guard(_host_body_split(cfg, s0, "A"),
-                        dt, *args, ccf, carry)
+                        dt, *args, ccf, nit0, carry)
             if out is None:
                 continue
             ion_new, ctx, tcarry, unfin, _ = out
@@ -731,16 +773,17 @@ def warm_host_shapes(cfg: ChemistryConfig, n: int, dtype=None,
                     guard(_host_body_split(cfg, s0, "B"), dt, ctx,
                           tcarry)
             guard(_host_body_split(cfg, s0, "C"), dt, carry, ion_new,
-                  ctx, tcarry)
+                  ctx, tcarry, nit0)
         else:
             if size <= K_BUCKET_MAX:
                 # every power-of-2 chunk length the quantized tail can
                 # dispatch at this rung
                 k = K_TAIL
                 while k > 1:
-                    guard(_host_body(cfg, k), dt, *args, ccf, carry)
+                    guard(_host_body(cfg, k), dt, *args, ccf, nit0,
+                          carry)
                     k //= 2
-            guard(_host_body(cfg, 1), dt, *args, ccf, carry)
+            guard(_host_body(cfg, 1), dt, *args, ccf, nit0, carry)
         if verbose:
             print(f"# warm_host_shapes: {size} done", flush=True)
     # outer fused compaction gathers: (full shape -> each rung)

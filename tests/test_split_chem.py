@@ -370,3 +370,40 @@ def test_split_chem_full_grid_trips_keep_sharding():
         assert tuple(t_spec) == ("d",), t_spec
     # and the pass's output state stays cell-sharded over all 8 devices
     assert len(s_s.h_av1.sharding.device_set) == 8
+
+
+def test_damped_picard_paths_agree():
+    """Damped Picard (DAMP_AFTER) must engage identically in the host
+    loop and the in-graph while_loop: with max_iter past the damping
+    threshold and stiff rates, both paths produce the same fields and
+    identical convergence counts."""
+    from c2ray_tpu.sweep.global_pass import (DAMP_AFTER,
+                                             global_chemistry_pass)
+    from c2ray_tpu.sweep.source_sweep import RateGrids
+
+    M = 16
+    n = M ** 3
+    rng = np.random.RandomState(31)
+    state = begin_timestep(initial_grid_state(
+        np.full((M,) * 3, 1.0e-4), 0.0, 0.0, 0.0, 1.0e4))
+    # very hard rates so many cells iterate well past DAMP_AFTER
+    rates = RateGrids(
+        phih=jnp.asarray(10 ** rng.uniform(-13, -8, n)),
+        phihe0=jnp.asarray(10 ** rng.uniform(-14, -9, n)),
+        phihe1=jnp.asarray(10 ** rng.uniform(-15, -10, n)),
+        phiheat=jnp.asarray(10 ** rng.uniform(-30, -22, n)),
+        photon_loss=jnp.zeros(()), lls_loss=jnp.zeros(()))
+    dt = 1.0e14
+    cfg = ChemistryConfig(cooling=setup_cooling_tables(),
+                          isothermal=False,
+                          max_iter=DAMP_AFTER + 30)
+    s_host, c_host = global_chemistry_pass(cfg, state, rates, dt,
+                                           host_loop=True)
+    s_graph, c_graph = global_chemistry_pass(cfg, state, rates, dt,
+                                             host_loop=False)
+    assert int(c_host) == int(c_graph)
+    for name in ("h_av1", "he_av2", "t_av", "t_inter"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_host, name)),
+            np.asarray(getattr(s_graph, name)), rtol=1e-6,
+            atol=1e-12, err_msg=name)

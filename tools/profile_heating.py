@@ -108,9 +108,10 @@ def main(mesh=128, n_src=8, n_iter=2):
 
     real_split_trip = gp._split_trip
 
-    def instrumented_split_trip(c, s0, dt_, args_, ccf_, carry_):
+    def instrumented_split_trip(c, s0, dt_, args_, ccf_, nit0_, carry_):
         t0 = time.perf_counter()
-        out, cnt = real_split_trip(c, s0, dt_, args_, ccf_, carry_)
+        out, cnt = real_split_trip(c, s0, dt_, args_, ccf_, nit0_,
+                                   carry_)
         jax.block_until_ready(out[1])
         trips.append((time.perf_counter() - t0, int(cnt),
                       int(args_[0].size)))
